@@ -1,0 +1,230 @@
+"""Typed configuration with the reference's YAML key surface.
+
+The reference flattens YAML sections {misc, model, overlap_attention_module,
+loss, optimiser, dataset, demo} into one namespace (reference
+lib/utils.py:46-65) with silently-colliding keys.  We keep the same YAML
+surface (same key names, same sections accepted) but parse into a typed
+dataclass and reject unknown keys, plus a new ``tpu`` section for the
+static-shape budgets that replace the reference's ragged stacks.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import yaml
+
+# Architecture registry: per-dataset block-name lists (reference configs/models.py).
+ARCHITECTURES: Dict[str, List[str]] = {
+    "indoor": [
+        "simple",
+        "resnetb",
+        "resnetb_strided",
+        "resnetb",
+        "resnetb",
+        "resnetb_strided",
+        "resnetb",
+        "resnetb",
+        "resnetb_strided",
+        "resnetb",
+        "resnetb",
+        "nearest_upsample",
+        "unary",
+        "nearest_upsample",
+        "unary",
+        "nearest_upsample",
+        "last_unary",
+    ],
+    "modelnet": [
+        "simple",
+        "resnetb",
+        "resnetb",
+        "resnetb_strided",
+        "resnetb",
+        "resnetb",
+        "resnetb_strided",
+        "resnetb",
+        "resnetb",
+        "nearest_upsample",
+        "unary",
+        "unary",
+        "nearest_upsample",
+        "unary",
+        "last_unary",
+    ],
+}
+# KITTI shares the indoor topology (reference configs/models.py:22-39).
+ARCHITECTURES["kitti"] = list(ARCHITECTURES["indoor"])
+
+
+@dataclass(frozen=True)
+class Budgets:
+    """Static per-level shape budgets (per cloud) — TPU-native replacement for
+    the reference's ragged stacks + calibrate_neighbors truncation
+    (reference datasets/dataloader.py:402-434)."""
+
+    # Max points per cloud at each pyramid level.
+    points: Tuple[int, ...] = (26624, 9216, 2560, 768)
+    # Neighbor caps per level (conv, pool and upsample searches share the cap,
+    # matching reference dataloader.py:273,298,301 which pass the same limit).
+    neighbors: Tuple[int, ...] = (40, 40, 40, 40)
+    # Cap on ground-truth correspondence candidates per source point.
+    corr_k: int = 16
+    # Query chunk for the tiled radius search (memory/latency tradeoff).
+    query_chunk: int = 1024
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.points)
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- misc (reference configs/train/indoor.yaml) ---
+    exp_dir: str = "snapshot/indoor"
+    mode: str = "train"
+    verbose: bool = True
+    verbose_freq: int = 100
+    snapshot_freq: int = 1
+    pretrain: str = ""
+
+    # --- model ---
+    dataset: str = "indoor"
+    benchmark: str = "3DMatch"
+    num_layers: int = 4
+    in_points_dim: int = 3
+    first_feats_dim: int = 256
+    gnn_feats_dim: int = 512
+    final_feats_dim: int = 32
+    first_subsampling_dl: float = 0.025
+    in_feats_dim: int = 1  # 129 with the 2D branch (128 image channels + 1)
+    conv_radius: float = 2.5
+    deform_radius: float = 5.0
+    num_kernel_points: int = 15
+    KP_extent: float = 2.0
+    KP_influence: str = "linear"
+    aggregation_mode: str = "sum"
+    fixed_kernel_points: str = "center"
+    use_batch_norm: bool = True
+    batch_norm_momentum: float = 0.02
+    deformable: bool = False
+    modulated: bool = False
+    image_feature: bool = False
+    img_num: int = 2
+    init_mode: str = "pri3d"
+    window_size: int = 5
+    overlap_threshold: float = 0.5
+    node_overlap: bool = False
+    quaternion: bool = False
+
+    # --- overlap_attention_module ---
+    dgcnn_k: int = 10
+    num_head: int = 4
+    nets: Tuple[str, ...] = ("self", "cross", "self")
+
+    # --- loss ---
+    pos_margin: float = 0.1
+    neg_margin: float = 1.4
+    log_scale: float = 24.0
+    pos_radius: float = 0.0375
+    safe_radius: float = 0.1
+    overlap_radius: float = 0.0375
+    matchability_radius: float = 0.05
+    w_circle_loss: float = 1.0
+    w_overlap_loss: float = 1.0
+    w_saliency_loss: float = 0.0
+    max_points: int = 256
+
+    # --- optimiser ---
+    optimizer: str = "SGD"
+    max_epoch: int = 150
+    lr: float = 0.005
+    weight_decay: float = 1e-6
+    momentum: float = 0.98
+    scheduler: str = "ExpLR"
+    scheduler_gamma: float = 0.95
+    scheduler_freq: int = 1
+    iter_size: int = 1
+
+    # --- dataset ---
+    batch_size: int = 1
+    num_workers: int = 4
+    augment_noise: float = 0.005
+    root: str = ""
+    img_path: str = ""
+    train_info: str = ""
+    val_info: str = ""
+
+    # --- demo ---
+    src_pcd: str = ""
+    tgt_pcd: str = ""
+    n_points: int = 1000
+
+    # --- tpu (new) ---
+    budgets: Budgets = field(default_factory=Budgets)
+    data_parallel: int = 1  # pairs sharded over the mesh data axis
+    compute_dtype: str = "float32"
+    seed: int = 42
+
+    @property
+    def architecture(self) -> List[str]:
+        return ARCHITECTURES[self.dataset]
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(Config)}
+# Reference keys that carry no meaning in the TPU rebuild (paths to torch
+# checkpoints, gpu pinning, ...). Accepted and ignored for YAML compatibility.
+_IGNORED_KEYS = {
+    "gpu_mode",
+    "num_gpus",
+    "dir",
+    "tdmatch_pth_path",
+    "pri3d_pth_path",
+    "debug",
+}
+
+
+def load_config(path: str) -> Config:
+    """YAML → Config.  Accepts the reference's sectioned YAML files verbatim
+    (sections are flattened, mirroring reference lib/utils.py:46-65) as well
+    as flat dicts; unknown keys raise instead of silently merging."""
+    with open(path, "r") as f:
+        raw = yaml.safe_load(f) or {}
+    flat: Dict[str, Any] = {}
+    for key, value in raw.items():
+        if isinstance(value, dict):
+            flat.update(value)
+        else:
+            flat[key] = value
+    return config_from_dict(flat)
+
+
+def config_from_dict(flat: Dict[str, Any]) -> Config:
+    kwargs: Dict[str, Any] = {}
+    for key, value in flat.items():
+        if key in _IGNORED_KEYS:
+            continue
+        if key == "nets":
+            value = tuple(value)
+        elif key == "budgets" and isinstance(value, dict):
+            value = Budgets(
+                points=tuple(value.get("points", Budgets().points)),
+                neighbors=tuple(value.get("neighbors", Budgets().neighbors)),
+                corr_k=value.get("corr_k", Budgets().corr_k),
+                query_chunk=value.get("query_chunk", Budgets().query_chunk),
+            )
+        if key not in _FIELD_NAMES:
+            raise KeyError(f"Unknown config key: {key!r}")
+        kwargs[key] = value
+    return Config(**kwargs)
+
+
+def tiny_test_config(**overrides) -> Config:
+    """A small config for unit tests: same topology, tiny budgets."""
+    budgets = Budgets(points=(256, 96, 48, 24), neighbors=(16, 16, 16, 16), corr_k=8, query_chunk=64)
+    cfg = Config(budgets=budgets, first_feats_dim=32, gnn_feats_dim=32, final_feats_dim=8)
+    return cfg.replace(**overrides)

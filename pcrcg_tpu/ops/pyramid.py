@@ -1,0 +1,87 @@
+"""On-device multi-scale pyramid builder.
+
+Replaces the reference's per-sample CPU collation (datasets/
+dataloader.py:203-400): per level ℓ it computes conv neighbors at radius
+r_ℓ, strided-pool points via grid subsampling at dl = 2·r_ℓ/conv_radius,
+pool neighbors at r_ℓ, and upsample neighbors at 2·r_ℓ, with r doubling
+per level (dataloader.py:239,286-301,357).  Runs fully on device with
+static shapes: each level holds both clouds on a leading [2, ...] axis
+(src=0, tgt=1) instead of the reference's stacked-rows + lengths trick.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax.struct import dataclass as pytree
+
+from pcrcg_tpu.config import Budgets
+from pcrcg_tpu.ops.neighbors import radius_search
+from pcrcg_tpu.ops.subsample import grid_subsample
+
+
+@pytree
+class Pyramid:
+    """Static-shape pyramid for one pair of clouds.
+
+    points[ℓ]:    [2, N_ℓ, 3]   (pad rows at PAD_COORD)
+    masks[ℓ]:     [2, N_ℓ]      bool
+    neighbors[ℓ]: [2, N_ℓ, H_ℓ] conv neighbors within level ℓ (pad = N_ℓ)
+    pools[ℓ]:     [2, N_{ℓ+1}, H_ℓ] neighbors of level-ℓ+1 queries in level ℓ
+    upsamples[ℓ]: [2, N_ℓ, H_ℓ] neighbors of level-ℓ queries in level ℓ+1
+    """
+
+    points: Tuple[jnp.ndarray, ...]
+    masks: Tuple[jnp.ndarray, ...]
+    neighbors: Tuple[jnp.ndarray, ...]
+    pools: Tuple[jnp.ndarray, ...]
+    upsamples: Tuple[jnp.ndarray, ...]
+
+
+def build_pyramid(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    budgets: Budgets,
+    first_subsampling_dl: float,
+    conv_radius: float,
+) -> Pyramid:
+    """points [2, N_0, 3], mask [2, N_0] -> Pyramid (all levels).
+
+    Geometry is index bookkeeping, not part of the differentiable graph —
+    the caller should treat the result as constants (we stop gradients).
+    """
+    points = jax.lax.stop_gradient(points)
+    num_levels = budgets.num_levels
+    chunk = budgets.query_chunk
+
+    search = jax.vmap(radius_search, in_axes=(0, 0, 0, None, None, None))
+    subsample = jax.vmap(grid_subsample, in_axes=(0, 0, None, None))
+
+    r = first_subsampling_dl * conv_radius
+    lvl_points = [points]
+    lvl_masks = [mask]
+    neighbors = []
+    pools = []
+    upsamples = []
+
+    for level in range(num_levels):
+        cap = budgets.neighbors[level]
+        pts, msk = lvl_points[level], lvl_masks[level]
+        neighbors.append(search(pts, pts, msk, r, cap, chunk))
+        if level + 1 < num_levels:
+            dl = 2.0 * r / conv_radius
+            pool_p, pool_m = subsample(pts, msk, dl, budgets.points[level + 1])
+            pools.append(search(pool_p, pts, msk, r, cap, chunk))
+            upsamples.append(search(pts, pool_p, pool_m, 2.0 * r, cap, chunk))
+            lvl_points.append(pool_p)
+            lvl_masks.append(pool_m)
+        r *= 2.0
+
+    return Pyramid(
+        points=tuple(lvl_points),
+        masks=tuple(lvl_masks),
+        neighbors=tuple(neighbors),
+        pools=tuple(pools),
+        upsamples=tuple(upsamples),
+    )

@@ -1,0 +1,62 @@
+"""Barycenter voxel-grid subsampling, on device, static output shape.
+
+TPU-native replacement for the reference's CPU grid subsampling
+(cpp_subsampling/grid_subsampling.cpp:5-106).  Semantics preserved:
+* origin corner = floor(min_valid_point / dl) * dl (grid_subsampling.cpp
+  ``originCorner``),
+* each point hashes to voxel (iX, iY, iZ) = floor((p - origin)/dl),
+* output = per-voxel barycenter of its points.
+
+Instead of an unordered_map we sort points by a linearized voxel key and
+segment-reduce; the output order is voxel-key order (spatially coherent —
+good for locality) rather than hash-iteration order, which downstream ops
+never depended on.  If distinct voxels exceed ``n_out`` the surplus voxels
+are dropped (budgets must be calibrated generously; see Budgets).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pcrcg_tpu.ops.masked import PAD_COORD
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def grid_subsample(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    dl: float,
+    n_out: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """points [N,3], mask [N] -> (pooled [n_out,3], pooled_mask [n_out]).
+
+    Pad outputs sit at PAD_COORD.
+    """
+    big = jnp.float32(PAD_COORD)
+    valid_pts = jnp.where(mask[:, None], points, big)
+    pmin = jnp.min(valid_pts, axis=0)
+    pmax = jnp.max(jnp.where(mask[:, None], points, -big), axis=0)
+    origin = jnp.floor(pmin / dl) * dl
+
+    ijk = jnp.floor((points - origin) / dl).astype(jnp.int32)  # [N,3]
+    dims = jnp.floor((pmax - origin) / dl).astype(jnp.int32) + 1  # [3]
+    key = ijk[:, 0] + dims[0] * (ijk[:, 1] + dims[1] * ijk[:, 2])
+    key = jnp.where(mask, key, _INT_MAX)
+
+    order = jnp.argsort(key)  # stable; invalid rows sort last
+    sorted_key = key[order]
+    sorted_pts = points[order]
+    sorted_valid = mask[order]
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]
+    )
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # dense voxel rank
+    seg = jnp.where(sorted_valid, seg, n_out)  # drop pads via OOB scatter
+
+    sums = jnp.zeros((n_out, 3), points.dtype).at[seg].add(sorted_pts, mode="drop")
+    counts = jnp.zeros((n_out,), points.dtype).at[seg].add(1.0, mode="drop")
+    out_mask = counts > 0
+    pooled = sums / jnp.maximum(counts, 1.0)[:, None]
+    pooled = jnp.where(out_mask[:, None], pooled, big)
+    return pooled, out_mask
