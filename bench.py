@@ -1,0 +1,114 @@
+"""End-to-end throughput benchmark on the real chip.
+
+Measures the full pair -> SE(3) transform path, all on device: pyramid
+build (grid subsample + radius search), KPFCNN forward, overlap×saliency
+interest-point sampling, feature matching and 50k-hypothesis RANSAC —
+i.e. what the reference spreads across DataLoader CPU workers, a GPU
+forward, and an offline Open3D RANSAC run.
+
+Prints ONE JSON line: pairs/sec/chip vs the 20 pairs/sec/chip north star
+(BASELINE.md).  Uses the in-repo reference assets pair when available,
+synthetic clouds otherwise.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def load_assets_pair():
+    path_src = "/root/reference/assets/cloud_bin_21.pth"
+    path_tgt = "/root/reference/assets/cloud_bin_34.pth"
+    if os.path.exists(path_src):
+        import torch
+
+        src = np.asarray(torch.load(path_src, weights_only=False), dtype=np.float32)
+        tgt = np.asarray(torch.load(path_tgt, weights_only=False), dtype=np.float32)
+        return src, tgt
+    rng = np.random.default_rng(0)
+    return (
+        rng.uniform(0, 3, size=(25337, 3)).astype(np.float32),
+        rng.uniform(0, 3, size=(14602, 3)).astype(np.float32),
+    )
+
+
+def main():
+    from pcrcg_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pcrcg_tpu.config import Config
+    from pcrcg_tpu.data.pair import make_pair_batch
+    from pcrcg_tpu.models.kpfcnn import KPFCNN
+    from pcrcg_tpu.ops.pyramid import build_pyramid
+    from pcrcg_tpu.registration.ransac import feature_correspondences, ransac_pose
+    from pcrcg_tpu.registration.sampling import weighted_sample_topk
+
+    cfg = Config()
+    src, tgt = load_assets_pair()
+    batch = make_pair_batch(
+        [dict(src_pcd=src, tgt_pcd=tgt, rot=np.eye(3), trans=np.zeros(3))],
+        cfg.budgets.points[0],
+    )
+    model = KPFCNN(cfg)
+    pyr0 = build_pyramid(
+        batch.points[0], batch.masks[0], cfg.budgets, cfg.first_subsampling_dl, cfg.conv_radius
+    )
+    variables = model.init(jax.random.key(0), pyr0, batch.features[0])
+
+    n_points = 5000
+
+    @jax.jit
+    def register_pair(points, masks, features, key):
+        pyr = build_pyramid(
+            points, masks, cfg.budgets, cfg.first_subsampling_dl, cfg.conv_radius
+        )
+        out = model.apply(variables, pyr, features)
+        k1, k2, k3 = jax.random.split(key, 3)
+        scores = out["scores_overlap"] * out["scores_saliency"]
+        src_idx, src_ok = weighted_sample_topk(k1, scores[0], masks[0], n_points)
+        tgt_idx, tgt_ok = weighted_sample_topk(k2, scores[1], masks[1], n_points)
+        s_pts, s_feats = points[0][src_idx], out["feats_f"][0][src_idx]
+        t_pts, t_feats = points[1][tgt_idx], out["feats_f"][1][tgt_idx]
+        corr, valid = feature_correspondences(s_feats, t_feats, src_ok, tgt_ok)
+        res = ransac_pose(
+            k3, s_pts, t_pts, corr, valid,
+            distance_threshold=0.05, ransac_n=3, num_iterations=50000,
+            hypothesis_chunk=1024,
+        )
+        return res.transform, res.fitness
+
+    args = (batch.points[0], batch.masks[0], batch.features[0])
+    key = jax.random.key(0)
+    # Warmup/compile.
+    T, fit = register_pair(*args, key)
+    T.block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        T, fit = register_pair(*args, jax.random.fold_in(key, i))
+    T.block_until_ready()
+    dt = time.perf_counter() - t0
+    pairs_per_sec = iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_registration_pairs_per_sec_per_chip",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/sec",
+                "vs_baseline": round(pairs_per_sec / 20.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -225,6 +225,6 @@ def config_from_dict(flat: Dict[str, Any]) -> Config:
 
 def tiny_test_config(**overrides) -> Config:
     """A small config for unit tests: same topology, tiny budgets."""
-    budgets = Budgets(points=(256, 96, 48, 24), neighbors=(16, 16, 16, 16), corr_k=8, query_chunk=64)
+    budgets = Budgets(points=(256, 192, 192, 96), neighbors=(16, 16, 16, 16), corr_k=8, query_chunk=64)
     cfg = Config(budgets=budgets, first_feats_dim=32, gnn_feats_dim=32, final_feats_dim=8)
     return cfg.replace(**overrides)

@@ -1,0 +1,76 @@
+"""Pair containers: the static-shape unit of work.
+
+A ``PairBatch`` holds B registration pairs, each as two fixed-budget padded
+clouds on a [B, 2, N₀, ...] layout (src = index 0, tgt = 1).  This replaces
+the reference's ragged src/tgt stacks + ``stack_lengths`` bookkeeping
+(datasets/dataloader.py:221-236) and — because shapes are static — finally
+allows batch > 1 and data-parallel sharding over a device mesh (the
+reference hard-asserts batch_size == 1, dataloader.py:207).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax.struct import dataclass as pytree
+
+from pcrcg_tpu.ops.masked import PAD_COORD
+
+
+@pytree
+class PairBatch:
+    points: jnp.ndarray  # [B, 2, N0, 3] padded at PAD_COORD
+    masks: jnp.ndarray  # [B, 2, N0] bool
+    features: jnp.ndarray  # [B, 2, N0, Cin]
+    rot: jnp.ndarray  # [B, 3, 3] GT rotation src->tgt
+    trans: jnp.ndarray  # [B, 3]
+
+    @property
+    def batch_size(self) -> int:
+        return self.points.shape[0]
+
+
+def pad_cloud(points: np.ndarray, budget: int) -> tuple[np.ndarray, np.ndarray]:
+    """[n,3] -> ([budget,3] padded at PAD_COORD, [budget] mask).  Clouds over
+    budget are randomly the caller's problem (cap before calling)."""
+    n = min(points.shape[0], budget)
+    out = np.full((budget, 3), PAD_COORD, np.float32)
+    out[:n] = points[:n]
+    mask = np.zeros(budget, bool)
+    mask[:n] = True
+    return out, mask
+
+
+def make_pair_batch(
+    samples: list[dict],
+    budget: int,
+    in_feats_dim: int = 1,
+    features: Optional[np.ndarray] = None,
+) -> PairBatch:
+    """samples: list of dicts with keys src_pcd [n,3], tgt_pcd [m,3],
+    rot [3,3], trans [3] or [3,1].  Input feature = ones column on real rows
+    (reference datasets/indoor.py:179-180); richer features (the 2D lift)
+    overwrite via ``features`` [B,2,N,Cin]."""
+    bsz = len(samples)
+    pts = np.full((bsz, 2, budget, 3), PAD_COORD, np.float32)
+    msk = np.zeros((bsz, 2, budget), bool)
+    rot = np.zeros((bsz, 3, 3), np.float32)
+    trans = np.zeros((bsz, 3), np.float32)
+    for i, s in enumerate(samples):
+        pts[i, 0], msk[i, 0] = pad_cloud(np.asarray(s["src_pcd"], np.float32), budget)
+        pts[i, 1], msk[i, 1] = pad_cloud(np.asarray(s["tgt_pcd"], np.float32), budget)
+        rot[i] = np.asarray(s["rot"], np.float32).reshape(3, 3)
+        trans[i] = np.asarray(s["trans"], np.float32).reshape(3)
+    if features is None:
+        feats = np.where(msk[..., None], 1.0, 0.0).astype(np.float32)
+        feats = np.tile(feats, (1, 1, 1, in_feats_dim))
+    else:
+        feats = np.asarray(features, np.float32)
+    return PairBatch(
+        points=jnp.asarray(pts),
+        masks=jnp.asarray(msk),
+        features=jnp.asarray(feats),
+        rot=jnp.asarray(rot),
+        trans=jnp.asarray(trans),
+    )

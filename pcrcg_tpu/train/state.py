@@ -1,0 +1,76 @@
+"""Train state + optimizer factory.
+
+Capability parity with the reference runtime: SGD(momentum .98, wd 1e-6) or
+Adam, exponential per-epoch LR decay γ=.95 (main.py:59-78), NaN/Inf
+gradient gate that skips the optimizer step (lib/trainer.py:361-367,
+lib/utils.py:100-110 — here via optax.apply_if_finite), gradient
+accumulation via iter_size (trainer.py:361 — optax.MultiSteps).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+from flax.struct import dataclass as pytree, field
+
+from pcrcg_tpu.config import Config
+
+
+@pytree
+class TrainState:
+    params: Any
+    constants: Any  # fixed kernel dispositions etc. (never updated)
+    opt_state: Any
+    step: jax.Array
+    tx: optax.GradientTransformation = field(pytree_node=False)
+
+    def variables(self):
+        return {"params": self.params, "constants": self.constants}
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(params=new_params, opt_state=new_opt_state, step=self.step + 1)
+
+    def replace(self, **kw) -> "TrainState":
+        import dataclasses
+
+        return dataclasses.replace(self, **kw)
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
+    schedule = optax.exponential_decay(
+        init_value=cfg.lr,
+        transition_steps=max(steps_per_epoch * cfg.scheduler_freq, 1),
+        decay_rate=cfg.scheduler_gamma,
+        staircase=True,  # the reference steps ExponentialLR once per epoch
+    )
+    if cfg.optimizer.upper() == "SGD":
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(learning_rate=schedule, momentum=cfg.momentum),
+        )
+    elif cfg.optimizer.upper() == "ADAM":
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.adam(learning_rate=schedule),
+        )
+    else:
+        raise ValueError(f"Unknown optimizer: {cfg.optimizer}")
+    if cfg.iter_size > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.iter_size).gradient_transformation()
+    # Skip (don't crash on) non-finite grads, like validate_gradient.
+    return optax.apply_if_finite(tx, max_consecutive_errors=10**8)
+
+
+def create_train_state(cfg: Config, variables, steps_per_epoch: int = 1) -> TrainState:
+    tx = make_optimizer(cfg, steps_per_epoch)
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        constants=variables.get("constants", {}),
+        opt_state=tx.init(params),
+        step=jax.numpy.zeros((), jax.numpy.int32),
+        tx=tx,
+    )

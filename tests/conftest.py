@@ -15,6 +15,10 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+from pcrcg_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 @pytest.fixture
 def rng():

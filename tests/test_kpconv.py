@@ -1,0 +1,65 @@
+"""Golden tests: kpconv against a tiny numpy oracle replicating the
+reference KPConv semantics (models/blocks.py:229-374)."""
+import jax.numpy as jnp
+import numpy as np
+
+from pcrcg_tpu.models.kpconv import kpconv
+
+
+def oracle_kpconv(q_pts, s_pts, neighb, x, kp, w, extent, influence="linear", mode="sum"):
+    ns = s_pts.shape[0]
+    s_ext = np.concatenate([s_pts, np.full((1, 3), 1e6, np.float32)], 0)
+    x_ext = np.concatenate([x, np.zeros((1, x.shape[1]), np.float32)], 0)
+    neighbors = s_ext[neighb] - q_pts[:, None]  # [N,H,3]
+    diff = neighbors[:, :, None, :] - kp[None, None]
+    sq = np.sum(diff**2, -1)  # [N,H,K]
+    if influence == "linear":
+        aw = np.maximum(1 - np.sqrt(sq) / extent, 0.0)
+    elif influence == "constant":
+        aw = np.ones_like(sq)
+    else:
+        sigma = extent * 0.3
+        aw = np.exp(-sq / (2 * sigma**2 + 1e-9))
+    if mode == "closest":
+        one_hot = np.eye(kp.shape[0])[np.argmin(sq, axis=2)]
+        aw = aw * one_hot
+    aw = np.transpose(aw, (0, 2, 1))  # [N,K,H]
+    nx = x_ext[neighb]  # [N,H,C]
+    weighted = aw @ nx  # [N,K,C]
+    out = np.einsum("nkc,kcd->nd", weighted, w)
+    nnum = np.maximum(np.sum(np.sum(nx, -1) > 0, -1), 1)
+    return out / nnum[:, None]
+
+
+def test_kpconv_matches_oracle(rng):
+    nq, ns, h, k, cin, cout = 13, 29, 7, 15, 5, 6
+    q = rng.normal(size=(nq, 3)).astype(np.float32)
+    s = rng.normal(size=(ns, 3)).astype(np.float32)
+    # Neighbor indices with some shadow (== ns) entries.
+    neighb = rng.integers(0, ns + 1, size=(nq, h)).astype(np.int32)
+    x = rng.normal(size=(ns, cin)).astype(np.float32)
+    kp = rng.normal(scale=0.5, size=(k, 3)).astype(np.float32)
+    w = rng.normal(size=(k, cin, cout)).astype(np.float32)
+
+    for influence in ("linear", "gaussian", "constant"):
+        for mode in ("sum", "closest"):
+            want = oracle_kpconv(q, s, neighb, x, kp, w, 1.2, influence, mode)
+            got = kpconv(
+                jnp.asarray(q), jnp.asarray(s), jnp.asarray(neighb), jnp.asarray(x),
+                jnp.asarray(kp), jnp.asarray(w), 1.2, influence, mode,
+            )
+            np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_kpconv_all_shadow_row_is_finite(rng):
+    """A query with only shadow neighbors must produce zeros (neighbor_num
+    floored at 1), like the reference."""
+    q = np.zeros((2, 3), np.float32)
+    s = rng.normal(size=(4, 3)).astype(np.float32)
+    neighb = np.array([[4, 4, 4], [0, 1, 4]], np.int32)
+    x = np.ones((4, 2), np.float32)
+    kp = rng.normal(scale=0.5, size=(15, 3)).astype(np.float32)
+    w = rng.normal(size=(15, 2, 3)).astype(np.float32)
+    got = np.asarray(kpconv(*(jnp.asarray(a) for a in (q, s, neighb, x, kp, w)), 1.0))
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got[0], 0.0, atol=1e-6)
