@@ -113,6 +113,10 @@ class Config:
     image_feature: bool = False
     img_num: int = 2
     init_mode: str = "pri3d"
+    # torch checkpoint paths for the 2D backbone (reference trainer.py:49-70)
+    pri3d_pth_path: str = ""
+    tdmatch_pth_path: str = ""
+    image_net_pth_path: str = ""
     window_size: int = 5
     overlap_threshold: float = 0.5
     node_overlap: bool = False
@@ -151,8 +155,13 @@ class Config:
     batch_size: int = 1
     num_workers: int = 4
     augment_noise: float = 0.005
+    # KITTI augmentation (reference datasets/kitti.py:156-179)
+    augment_shift_range: float = 2.0
+    augment_scale_min: float = 0.8
+    augment_scale_max: float = 1.2
     root: str = ""
     img_path: str = ""
+    superglue_matches_path: str = ""
     train_info: str = ""
     val_info: str = ""
 
@@ -171,6 +180,14 @@ class Config:
     def architecture(self) -> List[str]:
         return ARCHITECTURES[self.dataset]
 
+    def pretrain_2d_path(self) -> str:
+        """2D-backbone checkpoint per init_mode (reference trainer.py:49-70)."""
+        return {
+            "pri3d": self.pri3d_pth_path,
+            "3dmatch": self.tdmatch_pth_path,
+            "image_net": self.image_net_pth_path,
+        }.get(self.init_mode, "")
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
@@ -182,8 +199,6 @@ _IGNORED_KEYS = {
     "gpu_mode",
     "num_gpus",
     "dir",
-    "tdmatch_pth_path",
-    "pri3d_pth_path",
     "debug",
 }
 

@@ -69,6 +69,16 @@ class IndoorDataset:
         self.data_augmentation = data_augmentation
         self.config = config
         self.rng = rng or np.random.default_rng(config.seed)
+        self.image_loader = None
+        if config.image_feature:
+            from pcrcg_tpu.data.images import ImagePairLoader
+
+            self.image_loader = ImagePairLoader(
+                config.img_path,
+                config.superglue_matches_path,
+                config.img_num,
+                config.window_size,
+            )
 
     def __len__(self) -> int:
         return len(self.infos["rot"])
@@ -103,7 +113,7 @@ class IndoorDataset:
             src_pcd = src_pcd + (rng.random(src_pcd.shape) - 0.5) * self.augment_noise
             tgt_pcd = tgt_pcd + (rng.random(tgt_pcd.shape) - 0.5) * self.augment_noise
 
-        return {
+        sample = {
             "src_pcd": src_pcd.astype(np.float32),
             "tgt_pcd": tgt_pcd.astype(np.float32),
             "rot": rot.astype(np.float32),
@@ -115,6 +125,18 @@ class IndoorDataset:
             "aug_src": np.bool_(aug_src),
             "item": np.int32(item),
         }
+        if self.image_loader is not None:
+            sample.update(
+                self.image_loader.load_pair(
+                    self.base_dir,
+                    self.infos["src"][item],
+                    self.infos["tgt"][item],
+                    aug_rot,
+                    bool(aug_src),
+                    self.data_augmentation,
+                )
+            )
+        return sample
 
 
 def load_split(config: Config, split: str) -> "IndoorDataset":

@@ -20,15 +20,23 @@ from pcrcg_tpu.ops.masked import PAD_COORD
 
 @pytree
 class PairBatch:
-    points: jnp.ndarray  # [B, 2, N0, 3] padded at PAD_COORD
+    points: jnp.ndarray  # [B, 2, N0, 3] padded at PAD_COORD (model input)
     masks: jnp.ndarray  # [B, 2, N0] bool
     features: jnp.ndarray  # [B, 2, N0, Cin]
     rot: jnp.ndarray  # [B, 3, 3] GT rotation src->tgt
     trans: jnp.ndarray  # [B, 3]
+    # Pre-augmentation clouds, same rows/order as ``points``; the loss uses
+    # these when the augmentation is NOT folded into (rot, trans) — the
+    # KITTI protocol (reference datasets/kitti.py:17-19).  None -> points.
+    raw_points: Optional[jnp.ndarray] = None
 
     @property
     def batch_size(self) -> int:
         return self.points.shape[0]
+
+    @property
+    def loss_points(self) -> jnp.ndarray:
+        return self.points if self.raw_points is None else self.raw_points
 
 
 def pad_cloud(points: np.ndarray, budget: int) -> tuple[np.ndarray, np.ndarray]:
@@ -57,9 +65,14 @@ def make_pair_batch(
     msk = np.zeros((bsz, 2, budget), bool)
     rot = np.zeros((bsz, 3, 3), np.float32)
     trans = np.zeros((bsz, 3), np.float32)
+    has_raw = "raw_src_pcd" in samples[0]
+    raw = np.full((bsz, 2, budget, 3), PAD_COORD, np.float32) if has_raw else None
     for i, s in enumerate(samples):
         pts[i, 0], msk[i, 0] = pad_cloud(np.asarray(s["src_pcd"], np.float32), budget)
         pts[i, 1], msk[i, 1] = pad_cloud(np.asarray(s["tgt_pcd"], np.float32), budget)
+        if has_raw:
+            raw[i, 0], _ = pad_cloud(np.asarray(s["raw_src_pcd"], np.float32), budget)
+            raw[i, 1], _ = pad_cloud(np.asarray(s["raw_tgt_pcd"], np.float32), budget)
         rot[i] = np.asarray(s["rot"], np.float32).reshape(3, 3)
         trans[i] = np.asarray(s["trans"], np.float32).reshape(3)
     if features is None:
@@ -73,4 +86,5 @@ def make_pair_batch(
         features=jnp.asarray(feats),
         rot=jnp.asarray(rot),
         trans=jnp.asarray(trans),
+        raw_points=jnp.asarray(raw) if has_raw else None,
     )

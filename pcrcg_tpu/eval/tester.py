@@ -1,0 +1,198 @@
+"""Test-time pipelines.
+
+Capability parity with reference lib/tester.py + the (missing-from-repo)
+scripts/evaluate_predator.py flow that run_ransac.sh expects:
+* IndoorTester: per pair forward → overlap×saliency probabilistic top-k
+  sampling → feature matching → RANSAC → per-scene est.log → the 3DMatch
+  registration-recall protocol (lib/tester.py:24-103 + benchmark_utils
+  ransac_pose_estimation + lib/benchmark.py) — except everything through
+  the transform estimate runs ON DEVICE in one jit, no descriptor dump /
+  offline process boundary needed (a dump API is still provided for
+  parity).
+* KITTITester: RANSAC(n=4, 0.3 m), success at RRE<5°, RTE<2 m
+  (lib/tester.py:107-206).
+
+Pair keys: the 3DMatch pkl pair (src=cloud_bin_j → tgt=cloud_bin_i)
+corresponds to gt.log entry (i, j) with the SAME src→tgt matrix (verified
+against configs/benchmarks/3DMatch/7-scenes-redkitchen/gt.log).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import re
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcrcg_tpu.config import Config
+from pcrcg_tpu.eval.benchmark_3dmatch import benchmark, rotation_error_deg, write_trajectory
+from pcrcg_tpu.registration.ransac import (
+    feature_correspondences,
+    ransac_pose,
+    to_homogeneous,
+)
+from pcrcg_tpu.registration.sampling import weighted_sample_topk
+from pcrcg_tpu.train.step import forward_pair
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "cfg", "n_points", "distance_threshold", "ransac_n", "mutual")
+)
+def register_pair_jit(
+    model,
+    cfg: Config,
+    variables,
+    points,
+    masks,
+    features,
+    key,
+    images=None,
+    n_points: int = 5000,
+    distance_threshold: float = 0.05,
+    ransac_n: int = 3,
+    mutual: bool = False,
+):
+    """Full on-device pair → SE(3): forward, interest-point sampling by
+    overlap×saliency (tester.py:146-164), feature matching, RANSAC."""
+    out, _ = forward_pair(model, variables, cfg, points, masks, features, images)
+    k1, k2, k3 = jax.random.split(key, 3)
+    scores = out["scores_overlap"] * out["scores_saliency"]
+    src_idx, src_ok = weighted_sample_topk(k1, scores[0], masks[0], n_points)
+    tgt_idx, tgt_ok = weighted_sample_topk(k2, scores[1], masks[1], n_points)
+    s_pts, s_feats = points[0][src_idx], out["feats_f"][0][src_idx]
+    t_pts, t_feats = points[1][tgt_idx], out["feats_f"][1][tgt_idx]
+    corr, valid = feature_correspondences(s_feats, t_feats, src_ok, tgt_ok, mutual=mutual)
+    res = ransac_pose(
+        k3, s_pts, t_pts, corr, valid,
+        distance_threshold=distance_threshold, ransac_n=ransac_n,
+        num_iterations=50000, hypothesis_chunk=1024,
+    )
+    return {
+        "transform": res.transform,
+        "fitness": res.fitness,
+        "inlier_rmse": res.inlier_rmse,
+        "outputs": out,
+    }
+
+
+def fragment_id(path: str) -> int:
+    m = re.search(r"cloud_bin_(\d+)", path)
+    return int(m.group(1))
+
+
+def scene_of(path: str) -> str:
+    return path.split("/")[-2]
+
+
+class IndoorTester:
+    """3DMatch/3DLoMatch evaluation: estimates every pair's transform and
+    scores the registration-recall protocol against the shipped gt files."""
+
+    def __init__(self, cfg: Config, model, variables, gt_folder: str):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.gt_folder = gt_folder
+
+    def run(self, dataset, loader, n_points: int = 5000, mutual: bool = False,
+            est_folder: Optional[str] = None, key=None) -> Dict:
+        est_folder = est_folder or os.path.join(self.cfg.exp_dir, "est_traj")
+        key = key if key is not None else jax.random.key(self.cfg.seed)
+        per_scene_pairs = defaultdict(list)
+        per_scene_tsfm = defaultdict(list)
+        infos = dataset.infos
+        idx = 0
+        for batch, images in loader:
+            for b in range(batch.batch_size):
+                key, sub = jax.random.split(key)
+                im = None
+                if images is not None:
+                    im = jax.tree_util.tree_map(lambda x: x[b], images)
+                res = register_pair_jit(
+                    self.model, self.cfg, self.variables,
+                    batch.points[b], batch.masks[b], batch.features[b], sub, im,
+                    n_points=n_points, mutual=mutual,
+                )
+                T = to_homogeneous(res["transform"])
+                scene = scene_of(infos["src"][idx])
+                i = fragment_id(infos["tgt"][idx])
+                j = fragment_id(infos["src"][idx])
+                per_scene_pairs[scene].append((i, j))
+                per_scene_tsfm[scene].append(np.asarray(T))
+                idx += 1
+        for scene in per_scene_pairs:
+            n_frag = max(max(i, j) for i, j in per_scene_pairs[scene]) + 1
+            write_trajectory(
+                os.path.join(est_folder, scene, "est.log"),
+                np.asarray(per_scene_pairs[scene]),
+                np.stack(per_scene_tsfm[scene]),
+                n_frag,
+            )
+        result = benchmark(est_folder, self.gt_folder)
+        print(result.summary(), flush=True)
+        return {"benchmark": result, "est_folder": est_folder}
+
+
+class KITTITester:
+    """Registration recall at RRE<5°, RTE<2 m (reference tester.py:107-206)."""
+
+    def __init__(self, cfg: Config, model, variables):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+
+    def run(self, loader, n_points: int = 5000, key=None) -> Dict:
+        key = key if key is not None else jax.random.key(self.cfg.seed)
+        rot_est, trans_est, rot_gt, trans_gt = [], [], [], []
+        for batch, images in loader:
+            for b in range(batch.batch_size):
+                key, sub = jax.random.split(key)
+                res = register_pair_jit(
+                    self.model, self.cfg, self.variables,
+                    batch.points[b], batch.masks[b], batch.features[b], sub, None,
+                    n_points=n_points, distance_threshold=0.3, ransac_n=4,
+                )
+                T = np.asarray(res["transform"])
+                rot_est.append(T[:3, :3])
+                trans_est.append(T[:3, 3])
+                rot_gt.append(np.asarray(batch.rot[b]))
+                trans_gt.append(np.asarray(batch.trans[b]))
+        rot_est, rot_gt = np.stack(rot_est), np.stack(rot_gt)
+        trans_est, trans_gt = np.stack(trans_est), np.stack(trans_gt)
+        rre = rotation_error_deg(rot_est, rot_gt)
+        rte = np.linalg.norm(trans_est - trans_gt, axis=-1)
+        success = (rre < 5.0) & (rte < 2.0)
+        out = {
+            "registration_recall": float(success.mean()),
+            "rre_median": float(np.median(rre[rre < 5.0])) if (rre < 5.0).any() else float("nan"),
+            "rte_median": float(np.median(rte[rte < 2.0])) if (rte < 2.0).any() else float("nan"),
+        }
+        print(out, flush=True)
+        return out
+
+
+def dump_descriptors(cfg: Config, model, variables, batch, images, out_dir: str, idx: int,
+                     lens=None):
+    """Parity API with the reference's per-pair dump for offline RANSAC
+    (tester.py:92-102): saves pcd/feats/overlaps/saliency/rot/trans."""
+    from pcrcg_tpu.train.step import forward_pair
+
+    os.makedirs(out_dir, exist_ok=True)
+    out, _ = forward_pair(
+        model, variables, cfg, batch.points[0], batch.masks[0], batch.features[0],
+        images,
+    )
+    np.savez(
+        os.path.join(out_dir, f"{idx}.npz"),
+        points=np.asarray(batch.points[0]),
+        masks=np.asarray(batch.masks[0]),
+        feats=np.asarray(out["feats_f"]),
+        overlaps=np.asarray(out["scores_overlap"]),
+        saliency=np.asarray(out["scores_saliency"]),
+        rot=np.asarray(batch.rot[0]),
+        trans=np.asarray(batch.trans[0]),
+    )

@@ -1,0 +1,72 @@
+"""2D→3D feature lift: run the 2D backbone on each color image, gate by
+SuperGlue valid maps, gather at projected pixel locations, and assemble the
+per-point input features.
+
+Capability parity with reference models/architectures.py:195-514 (the
+img_num ∈ {1,2,3} branches), static-shape re-design:
+* instead of variable-length (inds2d, inds3d) scatters, every point carries
+  per-image (pixel, valid) pairs from ops.projection.project_points;
+* the reference applies LATER images' scatters first so image 1 wins
+  overlapping points (architectures.py:367-370) — here a priority select
+  over the image axis (first valid image wins);
+* lifted features are concatenated with a ones column and DETACHED
+  (architectures.py:300-307) — backbone2d receives no gradients through
+  the lift, exactly like the reference;
+* points with no valid image keep the all-ones row (the
+  ``x = ones.repeat(1,129)`` initialization, architectures.py:360).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pcrcg_tpu.models.resunet import ResUNet
+from pcrcg_tpu.ops.projection import gather_pixel_features, project_points
+
+
+class ImageLift(nn.Module):
+    """Computes [2, N, 128+1] input features for KPFCNN from per-cloud
+    image stacks.
+
+    Inputs (per pair):
+      points      [2, N, 3]   padded clouds (raw/augmented frame)
+      masks       [2, N]
+      colors      [2, I, H, W, 3]    I = img_num color images per cloud
+      depths      [2, I, h, w]       depth maps (meters) at half res
+      world2cam   [2, I, 4, 4]       fragment frame -> camera
+      valid_maps  [2, I, h, w]       SuperGlue confidence gating maps
+      intrinsics  [4, 4]             rescaled to (w, h)
+    """
+
+    output_channel: int = 128
+    depth: int = 50
+    thresh: float = 0.1
+
+    @nn.compact
+    def __call__(self, points, masks, colors, depths, world2cam, valid_maps, intrinsics):
+        backbone = ResUNet(self.output_channel, self.depth, name="backbone2d")
+        two, n_img = colors.shape[0], colors.shape[1]
+        fmaps = backbone(colors.reshape((-1,) + colors.shape[2:]))
+        fmaps = fmaps.reshape(colors.shape[:2] + fmaps.shape[1:])  # [2,I,h,w,C]
+        fmaps = fmaps * valid_maps[..., None]  # 2D-match gating (:282-285)
+
+        def lift_cloud(pts, msk, fmap_i, depth_i, w2c_i, vmaps_i):
+            def lift_one(fmap, dmap, w2c):
+                pix, valid = project_points(pts, dmap, w2c, intrinsics, msk, self.thresh)
+                feats = gather_pixel_features(fmap, pix, valid)
+                return feats, valid
+
+            feats, valid = jax.vmap(lift_one)(fmap_i, depth_i, w2c_i)  # [I,N,C],[I,N]
+            # Priority select: first valid image wins (image 1 overwrites).
+            first = jnp.argmax(valid, axis=0)  # [N]; 0 when none valid
+            any_valid = jnp.any(valid, axis=0)
+            sel = jnp.take_along_axis(feats, first[None, :, None], axis=0)[0]
+            lifted = jnp.concatenate([sel, jnp.ones_like(sel[:, :1])], axis=-1)
+            ones = jnp.ones_like(lifted)
+            out = jnp.where(any_valid[:, None], lifted, ones)
+            return jnp.where(msk[:, None], out, 0.0)
+
+        out = jax.vmap(lift_cloud)(points, masks, fmaps, depths, world2cam, valid_maps)
+        # Detach: no gradient into backbone2d through the lift (:300-307).
+        return jax.lax.stop_gradient(out)

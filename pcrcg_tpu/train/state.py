@@ -24,9 +24,14 @@ class TrainState:
     opt_state: Any
     step: jax.Array
     tx: optax.GradientTransformation = field(pytree_node=False)
+    # Non-trainable collections (e.g. the frozen 2D backbone's batch_stats).
+    batch_stats: Any = None
 
     def variables(self):
-        return {"params": self.params, "constants": self.constants}
+        out = {"params": self.params, "constants": self.constants}
+        if self.batch_stats is not None:
+            out["batch_stats"] = self.batch_stats
+        return out
 
     def apply_gradients(self, grads) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -73,4 +78,5 @@ def create_train_state(cfg: Config, variables, steps_per_epoch: int = 1) -> Trai
         opt_state=tx.init(params),
         step=jax.numpy.zeros((), jax.numpy.int32),
         tx=tx,
+        batch_stats=variables.get("batch_stats"),
     )

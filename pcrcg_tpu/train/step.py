@@ -23,20 +23,30 @@ from pcrcg_tpu.ops.pyramid import build_pyramid
 from pcrcg_tpu.train.state import TrainState
 
 
-def forward_pair(model: KPFCNN, variables, cfg: Config, points, masks, features):
-    """One pair: points [2,N,3], masks [2,N], features [2,N,Cin]."""
+def forward_pair(model, variables, cfg: Config, points, masks, features, images=None):
+    """One pair: points [2,N,3], masks [2,N], features [2,N,Cin]; ``images``
+    is the optional dict consumed by models.pcrcg.PCRCG's lift."""
     pyramid = build_pyramid(
         points, masks, cfg.budgets, cfg.first_subsampling_dl, cfg.conv_radius
     )
-    out = model.apply(variables, pyramid, features)
+    if images is not None:
+        out = model.apply(variables, pyramid, features, images)
+    else:
+        out = model.apply(variables, pyramid, features)
     return out, pyramid
 
 
-def pair_loss(model, variables, cfg: Config, key, points, masks, features, rot, trans):
-    out, pyramid = forward_pair(model, variables, cfg, points, masks, features)
+def pair_loss(
+    model, variables, cfg: Config, key, points, masks, features, rot, trans,
+    images=None, raw_points=None,
+):
+    out, pyramid = forward_pair(model, variables, cfg, points, masks, features, images)
+    # The loss geometry: pre-augmentation clouds when provided (KITTI
+    # protocol, datasets/kitti.py:17-19), else the model-input clouds.
+    loss_pts = points if raw_points is None else raw_points
     inputs = LossInputs(
-        src_pcd=points[0],
-        tgt_pcd=points[1],
+        src_pcd=loss_pts[0],
+        tgt_pcd=loss_pts[1],
         src_mask=masks[0],
         tgt_mask=masks[1],
         rot=rot,
@@ -57,21 +67,27 @@ def pair_loss(model, variables, cfg: Config, key, points, masks, features, rot, 
     return stats
 
 
-def batched_stats(model, params, constants, cfg: Config, key, batch: PairBatch):
-    variables = {"params": params, "constants": constants}
+def batched_stats(model, variables, cfg: Config, key, batch: PairBatch, images=None):
     keys = jax.random.split(key, batch.batch_size)
-    stats = jax.vmap(
-        lambda k, p, m, f, r, t: pair_loss(model, variables, cfg, k, p, m, f, r, t)
-    )(keys, batch.points, batch.masks, batch.features, batch.rot, batch.trans)
+    base = (keys, batch.points, batch.masks, batch.features, batch.rot, batch.trans)
+    opt = {"images": images, "raw_points": batch.raw_points}
+    present = [k for k, v in opt.items() if v is not None]
+
+    def fn(k, p, m, f, r, t, *rest):
+        kw = dict(zip(present, rest))
+        return pair_loss(model, variables, cfg, k, p, m, f, r, t, **kw)
+
+    stats = jax.vmap(fn)(*base, *(opt[k] for k in present))
     return jax.tree_util.tree_map(jnp.mean, stats)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg"))
 def train_step(
-    model: KPFCNN, cfg: Config, state: TrainState, batch: PairBatch, key
+    model, cfg: Config, state: TrainState, batch: PairBatch, key, images=None
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     def loss_fn(params):
-        stats = batched_stats(model, params, state.constants, cfg, key, batch)
+        variables = dict(state.variables(), params=params)
+        stats = batched_stats(model, variables, cfg, key, batch, images)
         return stats["total"], stats
 
     (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -81,17 +97,19 @@ def train_step(
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg"))
 def eval_step(
-    model: KPFCNN, cfg: Config, state: TrainState, batch: PairBatch, key
+    model, cfg: Config, state: TrainState, batch: PairBatch, key, images=None
 ) -> Dict[str, jnp.ndarray]:
-    return batched_stats(model, state.params, state.constants, cfg, key, batch)
+    return batched_stats(model, state.variables(), cfg, key, batch, images)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg"))
-def infer_step(model: KPFCNN, cfg: Config, state: TrainState, batch: PairBatch):
+def infer_step(model, cfg: Config, state: TrainState, batch: PairBatch, images=None):
     """Forward only; returns the per-pair outputs used by pose estimation
     (descriptor/score dumps, reference lib/tester.py:92-102)."""
-    def one(points, masks, features):
-        out, _ = forward_pair(model, state.variables(), cfg, points, masks, features)
+    def one(points, masks, features, im=None):
+        out, _ = forward_pair(model, state.variables(), cfg, points, masks, features, im)
         return out
 
-    return jax.vmap(one)(batch.points, batch.masks, batch.features)
+    if images is not None:
+        return jax.vmap(one)(batch.points, batch.masks, batch.features, images)
+    return jax.vmap(lambda p, m, f: one(p, m, f))(batch.points, batch.masks, batch.features)

@@ -1,0 +1,166 @@
+"""Training/eval orchestration.
+
+Capability parity with reference lib/trainer.py:31-431: epoch loop over a
+prefetching loader, stats meters, verbose_freq scalar logging, per-epoch
+snapshots plus best-loss / best-recall snapshots, resume from
+``config.pretrain``, 2D-backbone weight ingestion per init_mode
+(trainer.py:49-70), and the actual (unweighted) loss summation — which
+lives in pcrcg_tpu.losses.metric_loss.
+
+TPU-native differences: the device step is ONE compiled program
+(pyramid+forward+loss+update, train/step.py); the loader only pads; NaN
+gradients are skipped inside the step (optax.apply_if_finite) instead of a
+host-side validate_gradient pass.
+"""
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from pcrcg_tpu.config import Config
+from pcrcg_tpu.data.loader import PairLoader
+from pcrcg_tpu.models.pcrcg import PCRCG
+from pcrcg_tpu.ops.pyramid import build_pyramid
+from pcrcg_tpu.train.checkpoints import CheckpointManager
+from pcrcg_tpu.train.state import TrainState, create_train_state
+from pcrcg_tpu.train.step import eval_step, infer_step, train_step
+from pcrcg_tpu.utils.logging import Logger
+from pcrcg_tpu.utils.timer import AverageMeter, Timer
+
+
+def _example_images(cfg: Config):
+    """Zero image stack for model init when image_feature is on."""
+    i = cfg.img_num
+    return {
+        "colors": np.zeros((2, i, 240, 320, 3), np.float32),
+        "depths": np.zeros((2, i, 120, 160), np.float32),
+        "world2cam": np.tile(np.eye(4, dtype=np.float32), (2, i, 1, 1)),
+        "valid_maps": np.zeros((2, i, 120, 160), np.float32),
+        "intrinsics": np.eye(4, dtype=np.float32),
+    }
+
+
+def init_model(cfg: Config, seed: Optional[int] = None):
+    """Build PCRCG + init variables (and import 2D weights per init_mode)."""
+    model = PCRCG(cfg)
+    n0 = cfg.budgets.points[0]
+    from pcrcg_tpu.ops.masked import PAD_COORD
+
+    pts = np.full((2, n0, 3), PAD_COORD, np.float32)
+    rngp = np.random.default_rng(0)
+    pts[:, :64] = rngp.uniform(0, 1, size=(2, 64, 3))
+    msk = np.zeros((2, n0), bool)
+    msk[:, :64] = True
+    pyr = build_pyramid(
+        jax.numpy.asarray(pts), jax.numpy.asarray(msk), cfg.budgets,
+        cfg.first_subsampling_dl, cfg.conv_radius,
+    )
+    feats = np.where(msk[..., None], 1.0, 0.0).astype(np.float32)
+    feats = np.tile(feats, (1, 1, cfg.in_feats_dim))
+    args = (pyr, jax.numpy.asarray(feats))
+    if cfg.image_feature:
+        args = args + (jax.tree_util.tree_map(jax.numpy.asarray, _example_images(cfg)),)
+    variables = model.init(jax.random.key(seed if seed is not None else cfg.seed), *args)
+
+    # 2D backbone init modes (reference trainer.py:49-70): torch checkpoints
+    # for pri3d/3dmatch/image_net when a path is configured; random otherwise.
+    if cfg.image_feature and cfg.init_mode != "random" and cfg.pretrain_2d_path():
+        from pcrcg_tpu.models.torch_import import load_backbone2d
+
+        sub = {
+            "params": variables["params"]["lift"]["backbone2d"],
+            "batch_stats": variables["batch_stats"]["lift"]["backbone2d"],
+        }
+        merged, report = load_backbone2d(cfg.pretrain_2d_path(), sub)
+        variables["params"]["lift"]["backbone2d"] = merged["params"]
+        variables["batch_stats"]["lift"]["backbone2d"] = merged["batch_stats"]
+    return model, variables
+
+
+class Trainer:
+    def __init__(self, cfg: Config, datasets: Dict[str, object]):
+        self.cfg = cfg
+        self.logger = Logger(cfg.exp_dir)
+        self.logger.dump_config(cfg)
+        self.loaders = {
+            phase: PairLoader(
+                ds,
+                cfg.budgets.points[0],
+                batch_size=cfg.batch_size,
+                shuffle=phase == "train",
+                num_threads=cfg.num_workers,
+                seed=cfg.seed,
+            )
+            for phase, ds in datasets.items()
+        }
+        self.model, variables = init_model(cfg)
+        steps = max(len(self.loaders.get("train", [])), 1)
+        self.state: TrainState = create_train_state(cfg, variables, steps_per_epoch=steps)
+        self.ckpt = CheckpointManager(os.path.join(cfg.exp_dir, "checkpoints"))
+        self.start_epoch = 0
+        if cfg.pretrain:
+            self.state, meta = self.ckpt.restore(self.state, path=cfg.pretrain)
+            self.start_epoch = int(meta["epoch"]) + 1
+            self.logger.write(f"restored pretrain from {cfg.pretrain} @epoch {meta['epoch']}\n")
+        self.key = jax.random.key(cfg.seed)
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def run_epoch(self, epoch: int, phase: str) -> Dict[str, AverageMeter]:
+        assert phase in ("train", "val", "test")
+        meters: Dict[str, AverageMeter] = defaultdict(AverageMeter)
+        loader = self.loaders[phase]
+        num_iter = len(loader)
+        timer = Timer()
+        for c_iter, (batch, images) in enumerate(loader):
+            timer.tic()
+            if phase == "train":
+                self.state, stats = train_step(
+                    self.model, self.cfg, self.state, batch, self._next_key(), images
+                )
+            else:
+                stats = eval_step(
+                    self.model, self.cfg, self.state, batch, self._next_key(), images
+                )
+            stats = {k: float(v) for k, v in stats.items()}
+            timer.toc()
+            for k, v in stats.items():
+                meters[k].update(v)
+            meters["pairs_per_sec"].update(batch.batch_size / max(timer.diff, 1e-9))
+            if (c_iter + 1) % self.cfg.verbose_freq == 0 and self.cfg.verbose:
+                step = num_iter * epoch + c_iter
+                self.logger.scalars(phase, {k: m.avg for k, m in meters.items()}, step)
+                msg = f"{phase} Epoch: {epoch} [{c_iter+1:4d}/{num_iter}] " + " ".join(
+                    f"{k}: {m.avg:.3f}" for k, m in meters.items()
+                )
+                self.logger.write(msg + "\n")
+                print(msg, flush=True)
+        summary = f"{phase} Epoch {epoch}: " + " ".join(
+            f"{k}: {m.avg:.3f}" for k, m in meters.items()
+        )
+        self.logger.write(summary + "\n")
+        print(summary, flush=True)
+        return meters
+
+    def train(self):
+        for epoch in range(self.start_epoch, self.cfg.max_epoch):
+            self.run_epoch(epoch, "train")
+            meters = self.run_epoch(epoch, "val")
+            self.ckpt.maybe_save_best(
+                self.state, epoch, meters["circle_loss"].avg, meters["recall"].avg
+            )
+            if (epoch + 1) % self.cfg.snapshot_freq == 0:
+                self.ckpt.save(self.state, epoch)
+        print("Training finish!", flush=True)
+
+    def eval(self):
+        return self.run_epoch(0, "val")
+
+    def infer(self, batch, images=None):
+        return infer_step(self.model, self.cfg, self.state, batch, images)

@@ -1,0 +1,106 @@
+"""2D backbone tests: output geometry, torch-checkpoint import, and the
+lift's image-priority / detach semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcrcg_tpu.models.lift import ImageLift
+from pcrcg_tpu.models.resunet import ResUNet, align_corners_matrix, bilinear_resize
+
+
+@pytest.fixture(scope="module")
+def small_resunet():
+    model = ResUNet(output_channel=16, depth=18)
+    x = jnp.zeros((1, 48, 64, 3))
+    variables = model.init(jax.random.key(0), x)
+    return model, variables
+
+
+def test_resunet_output_half_resolution(small_resunet):
+    model, variables = small_resunet
+    out = model.apply(variables, jnp.ones((1, 48, 64, 3)))
+    assert out.shape == (1, 24, 32, 16)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_bilinear_align_corners_matches_linspace():
+    # Resizing a linear ramp with align_corners must keep endpoints exact.
+    x = jnp.linspace(0, 1, 5).reshape(1, 5, 1, 1)
+    y = np.asarray(bilinear_resize(x, (9, 1)))[0, :, 0, 0]
+    np.testing.assert_allclose(y, np.linspace(0, 1, 9), atol=1e-6)
+    m = align_corners_matrix(4, 7)
+    np.testing.assert_allclose(np.asarray(m).sum(-1), 1.0, atol=1e-6)
+
+
+def test_torch_state_dict_import_roundtrip(small_resunet):
+    torch = pytest.importorskip("torch")
+    from pcrcg_tpu.models.torch_import import import_torch_resunet
+
+    model, variables = small_resunet
+    # Build a torch-format state dict for resnet18 encoder conv1/bn1 and
+    # check values land (shape-matched) in the flax tree.
+    rng = np.random.default_rng(0)
+    conv1 = rng.normal(size=(64, 3, 7, 7)).astype(np.float32)
+    state = {
+        "conv1.weight": conv1,
+        "bn1.weight": np.full(64, 2.0, np.float32),
+        "bn1.bias": np.full(64, 0.5, np.float32),
+        "bn1.running_mean": np.full(64, 0.1, np.float32),
+        "bn1.running_var": np.full(64, 0.9, np.float32),
+        "bn1.num_batches_tracked": np.int64(7),
+        "fc.weight": rng.normal(size=(10, 512)).astype(np.float32),
+        "layer1.0.conv1.weight": rng.normal(size=(64, 64, 3, 3)).astype(np.float32),
+    }
+    merged, report = import_torch_resunet(state, variables)
+    got = merged["params"]["encoder"]["conv1"]["kernel"]
+    np.testing.assert_allclose(np.asarray(got), conv1.transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(merged["params"]["encoder"]["bn1"]["scale"], 2.0)
+    np.testing.assert_allclose(merged["batch_stats"]["encoder"]["bn1"]["var"], 0.9)
+    np.testing.assert_allclose(
+        merged["params"]["encoder"]["layer1_0"]["conv1"]["kernel"],
+        state["layer1.0.conv1.weight"].transpose(2, 3, 1, 0),
+    )
+    assert report["loaded"] >= 6
+    # The flax tree still initializes the model.
+    out = ResUNet(output_channel=16, depth=18).apply(
+        jax.tree_util.tree_map(jnp.asarray, merged), jnp.ones((1, 48, 64, 3))
+    )
+    assert out.shape == (1, 24, 32, 16)
+
+
+def test_image_lift_priority_and_detach(rng):
+    n, h, w = 32, 12, 16
+    lift = ImageLift(output_channel=8, depth=18)
+    pts = np.zeros((2, n, 3), np.float32)
+    pts[:, :, 2] = 2.0  # in front of the camera
+    pts[:, :, 0] = rng.uniform(-0.5, 0.5, size=(2, n))
+    pts[:, :, 1] = rng.uniform(-0.4, 0.4, size=(2, n))
+    masks = np.ones((2, n), bool)
+    colors = rng.uniform(size=(2, 2, 2 * h, 2 * w, 3)).astype(np.float32)
+    depths = np.full((2, 2, h, w), 2.0, np.float32)
+    depths[:, 1] = 100.0  # image 2 never depth-consistent
+    w2c = np.tile(np.eye(4, dtype=np.float32), (2, 2, 1, 1))
+    vmaps = np.ones((2, 2, h, w), np.float32)
+    intr = np.eye(4, dtype=np.float32)
+    intr[0, 0] = intr[1, 1] = 8.0
+    intr[0, 2], intr[1, 2] = w / 2, h / 2
+
+    args = tuple(jnp.asarray(a) for a in (pts, masks, colors, depths, w2c, vmaps, intr))
+    variables = lift.init(jax.random.key(0), *args)
+    out = lift.apply(variables, *args)
+    assert out.shape == (2, n, 9)
+    out = np.asarray(out)
+    # All points project into image 1 -> lifted features + ones column.
+    np.testing.assert_allclose(out[..., -1], 1.0)
+    assert np.abs(out[..., :8]).sum() > 0
+
+    # Detach: gradients of a lift-dependent loss w.r.t. backbone are zero.
+    def loss(v):
+        return jnp.sum(lift.apply(v, *args) ** 2)
+
+    grads = jax.grad(lambda p: loss({"params": p, "batch_stats": variables["batch_stats"]}))(
+        variables["params"]
+    )
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads))
+    assert total == 0.0
