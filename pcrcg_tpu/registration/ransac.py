@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from pcrcg_tpu.ops.matching import nearest_feature_neighbor
-from pcrcg_tpu.registration.procrustes import rigid_transform
+from pcrcg_tpu.registration.procrustes import rigid_transform_3pt, rigid_transform_horn
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -101,7 +101,9 @@ def ransac_pose(
             edge_ok = jnp.all(
                 ((es > edge_similarity * et) & (et > edge_similarity * es)) | ~off
             )
-            T = rigid_transform(s, t, jnp.ones((ransac_n,)))
+            # Exact 3-point frame fit: no eigensolve inside the hot vmap
+            # (the weighted fits stay for the refit pass).
+            T = rigid_transform_3pt(s, t)
             # Distance checker on the sampled pairs post-fit.
             moved = s @ T[:, :3].T + T[:, 3]
             dist_ok = jnp.all(jnp.sum((moved - t) ** 2, -1) <= thr2)
@@ -126,7 +128,7 @@ def ransac_pose(
         d2 = jnp.sum((moved - corr_tgt) ** 2, axis=-1)
         w = ((d2 <= thr2) & corr_valid).astype(jnp.float32)
         # Guard: with < 3 inliers keep the raw hypothesis.
-        refit = rigid_transform(corr_src, corr_tgt, w)
+        refit = rigid_transform_horn(corr_src, corr_tgt, w)
         best_T = jnp.where(jnp.sum(w) >= 3, refit, best_T)
         moved = corr_src @ best_T[:, :3].T + best_T[:, 3]
         d2 = jnp.sum((moved - corr_tgt) ** 2, axis=-1)

@@ -85,3 +85,28 @@ def test_weighted_sampling_respects_mask():
     idx, valid = weighted_sample_topk(jax.random.key(1), scores, mask, 20)
     assert np.asarray(valid)[:10].all() and not np.asarray(valid)[10:].any()
     assert (np.asarray(idx)[np.asarray(valid)] < 10).all()
+
+
+def test_horn_matches_svd_procrustes(rng):
+    from pcrcg_tpu.registration.procrustes import rigid_transform_horn
+
+    rot = so3.random_rotation(rng)
+    t = rng.normal(size=3).astype(np.float32)
+    a = rng.normal(size=(40, 3)).astype(np.float32)
+    b = (a @ rot.T + t + rng.normal(scale=0.01, size=(40, 3))).astype(np.float32)
+    w = rng.uniform(0.5, 1.0, size=40).astype(np.float32)
+    T_svd = np.asarray(rigid_transform(jnp.asarray(a), jnp.asarray(b), jnp.asarray(w)))
+    T_horn = np.asarray(rigid_transform_horn(jnp.asarray(a), jnp.asarray(b), jnp.asarray(w)))
+    np.testing.assert_allclose(T_horn, T_svd, atol=1e-4)
+
+    # Batched 3-point hypotheses (the RANSAC inner fit) via the exact
+    # frame method.
+    from pcrcg_tpu.registration.procrustes import rigid_transform_3pt
+
+    a3 = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    rots = np.stack([so3.random_rotation(rng) for _ in range(64)])
+    shifts = rng.normal(size=(64, 1, 3)).astype(np.float32)
+    b3 = np.einsum("bij,bnj->bni", rots, a3) + shifts
+    T = np.asarray(rigid_transform_3pt(jnp.asarray(a3), jnp.asarray(b3)))
+    np.testing.assert_allclose(T[:, :, :3], rots, atol=1e-4)
+    np.testing.assert_allclose(T[:, :, 3], shifts[:, 0], atol=1e-4)
