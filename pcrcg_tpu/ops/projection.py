@@ -71,6 +71,25 @@ def project_points(
     return xy, valid
 
 
+def unproject(depth: np.ndarray, intrinsics: np.ndarray, pose: np.ndarray) -> np.ndarray:
+    """Depth map (meters) [H,W] -> world-space points [M,3] at valid (>0)
+    pixels (reference datasets/visualize.py:303-339 semantics, numpy)."""
+    h, w = depth.shape
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    z = depth.reshape(-1)
+    valid = z > 0
+    x = x.reshape(-1)[valid]
+    y = y.reshape(-1)[valid]
+    z = z[valid]
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    bx = intrinsics[0, 3] if intrinsics.shape[1] > 3 else 0.0
+    by = intrinsics[1, 3] if intrinsics.shape[1] > 3 else 0.0
+    pts = np.stack([(x - cx) * z / fx + bx, (y - cy) * z / fy + by, z, np.ones_like(z)], 1)
+    world = pts @ np.asarray(pose).T
+    return world[:, :3]
+
+
 def gather_pixel_features(
     fmap: jnp.ndarray, pix_xy: jnp.ndarray, valid: jnp.ndarray
 ) -> jnp.ndarray:

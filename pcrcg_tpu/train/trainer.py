@@ -86,6 +86,7 @@ class Trainer:
         self.cfg = cfg
         self.logger = Logger(cfg.exp_dir)
         self.logger.dump_config(cfg)
+        self._backup_source(cfg.exp_dir)
         self.loaders = {
             phase: PairLoader(
                 ds,
@@ -107,6 +108,19 @@ class Trainer:
             self.start_epoch = int(meta["epoch"]) + 1
             self.logger.write(f"restored pretrain from {cfg.pretrain} @epoch {meta['epoch']}\n")
         self.key = jax.random.key(cfg.seed)
+
+    @staticmethod
+    def _backup_source(exp_dir: str):
+        """Copy the package source into the snapshot dir (reference
+        main.py:46-51 reproducibility convention)."""
+        import shutil
+
+        src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        dst = os.path.join(exp_dir, "source_backup", "pcrcg_tpu")
+        if not os.path.exists(dst):
+            shutil.copytree(
+                src, dst, ignore=shutil.ignore_patterns("__pycache__", "*.pyc")
+            )
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)

@@ -55,3 +55,28 @@ def test_radius_count_matches_bruteforce(rng):
     d2 = np.sum((q[:, None] - s[None]) ** 2, -1)
     want = (d2 <= 0.2**2).sum(1)
     np.testing.assert_array_equal(counts, want)
+
+
+def test_calibrate_budgets_on_synthetic(rng):
+    from pcrcg_tpu.config import tiny_test_config
+    from pcrcg_tpu.data.calibrate import calibrate_budgets, occupancy_report
+
+    cfg = tiny_test_config()
+
+    class DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return {
+                "src_pcd": r.uniform(0, 0.5, size=(180, 3)).astype(np.float32),
+                "tgt_pcd": r.uniform(0, 0.5, size=(150, 3)).astype(np.float32),
+            }
+
+    budgets = calibrate_budgets(DS(), cfg, num_samples=4)
+    assert len(budgets.points) == cfg.budgets.num_levels
+    assert budgets.points[0] >= 180
+    assert all(c >= 8 for c in budgets.neighbors)
+    rep = occupancy_report(DS(), cfg, num_samples=2)
+    assert not any(rep["truncating"])
