@@ -167,6 +167,17 @@ class BenchmarkResult:
         return "\n".join(lines)
 
 
+def get_scene_split(gt_folder: str):
+    """Per-scene [start, end) pair-index ranges over the concatenated split
+    (reference benchmark_utils.py:299-311)."""
+    split, count = [], 0
+    for scene in sorted(os.listdir(gt_folder)):
+        pairs, _ = read_trajectory(os.path.join(gt_folder, scene, "gt.log"))
+        split.append([count, count + len(pairs)])
+        count += len(pairs)
+    return split
+
+
 def benchmark(est_folder: str, gt_folder: str) -> BenchmarkResult:
     """Aggregate over all scenes (reference benchmark.py:271-337): per-scene
     est.log under <est_folder>/<scene>/est.log vs gt under

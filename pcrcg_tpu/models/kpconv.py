@@ -75,9 +75,22 @@ def kpconv(
     # Gather neighbor features; shadow rows are zero.
     neighb_x = pad_gather(x, neighb_inds, fill_value=0.0)  # [Nq,H,Cin]
 
-    # Influence-weighted sum over neighbors, then per-kernel-point matmul.
-    weighted = jnp.einsum("nhk,nhc->nkc", all_weights, neighb_x)
-    out = jnp.einsum("nkc,kcd->nd", weighted, weights)
+    # Influence-weighted sum over neighbors.  NOT an einsum 'nhk,nhc->nkc':
+    # that is a batch of Nq tiny [K,H]@[H,C] matmuls, which XLA pads to
+    # 128x128 MXU tiles at ~2% utilization (measured ~3 s/pair on v5e).
+    # Unrolling K keeps it a fused VPU multiply-reduce with no [N,H,K,C]
+    # intermediate.
+    k_count = kernel_points.shape[0]
+    weighted = jnp.stack(
+        [
+            jnp.sum(all_weights[:, :, k][:, :, None] * neighb_x, axis=1)
+            for k in range(k_count)
+        ],
+        axis=1,
+    )  # [Nq,K,Cin]
+
+    # One LARGE matmul over the flattened (K·Cin) axis — MXU-friendly.
+    out = weighted.reshape(weighted.shape[0], -1) @ weights.reshape(-1, weights.shape[-1])
 
     # Reference normalization heuristic (blocks.py:369-372).
     neighbor_num = jnp.sum(jnp.sum(neighb_x, axis=-1) > 0.0, axis=-1)

@@ -17,16 +17,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pcrcg_tpu.data.pair import PairBatch
 
 
-def make_mesh(n_data: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """('data', 'model') mesh.  'data' shards pairs; 'model' (1 or 2) shards
+    the two clouds of each pair — the encoder is per-cloud independent, so
+    with model=2 each cloud's KPConv stack runs on its own device and XLA
+    inserts the all-gather at the cross-attention bottleneck."""
     devices = list(devices if devices is not None else jax.devices())
-    n_data = n_data or len(devices)
-    return Mesh(np.asarray(devices[:n_data]).reshape(n_data), axis_names=("data",))
+    n_data = n_data or len(devices) // n_model
+    use = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(use, axis_names=("data", "model"))
 
 
 def shard_pair_batch(batch: PairBatch, mesh: Mesh) -> PairBatch:
-    """Place the batch with its leading (pair) axis split over 'data'."""
-    sharding = NamedSharding(mesh, P("data"))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    """Pairs on 'data'; the cloud axis (size 2) on 'model' when present."""
+    model = "model" if "model" in mesh.axis_names and mesh.shape["model"] > 1 else None
+
+    def put(x):
+        if x is None:
+            return None
+        spec = [None] * x.ndim
+        spec[0] = "data"
+        if model and x.ndim >= 2 and x.shape[1] == 2:
+            spec[1] = model
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):
