@@ -64,11 +64,18 @@ def init_model(cfg: Config, seed: Optional[int] = None):
     args = (pyr, jax.numpy.asarray(feats))
     if cfg.image_feature:
         args = args + (jax.tree_util.tree_map(jax.numpy.asarray, _example_images(cfg)),)
-    variables = model.init(jax.random.key(seed if seed is not None else cfg.seed), *args)
+    # jitted init: eager flax init dispatches thousands of tiny ops, which
+    # costs minutes over the axon tunnel.
+    variables = jax.jit(model.init)(
+        jax.random.key(seed if seed is not None else cfg.seed), *args
+    )
 
     # 2D backbone init modes (reference trainer.py:49-70): torch checkpoints
     # for pri3d/3dmatch/image_net when a path is configured; random otherwise.
     if cfg.image_feature and cfg.init_mode != "random" and cfg.pretrain_2d_path():
+        import flax
+
+        variables = flax.core.unfreeze(variables)
         from pcrcg_tpu.models.torch_import import load_backbone2d
 
         sub = {
