@@ -26,12 +26,16 @@ def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
-def make_dense(features: int, use_bias: bool, name: Optional[str] = None) -> nn.Dense:
+def make_dense(
+    features: int, use_bias: bool, name: Optional[str] = None, dtype=None
+) -> nn.Dense:
     """nn.Dense with torch nn.Linear default init (U(±1/√fan_in) for kernel
-    and bias) so fresh-init training dynamics match the reference."""
+    and bias) so fresh-init training dynamics match the reference.
+    ``dtype`` is the computation dtype (params stay f32)."""
     return nn.Dense(
         features,
         use_bias=use_bias,
+        dtype=dtype,
         kernel_init=torch_linear_kernel_init,
         bias_init=nn.initializers.zeros,
         name=name,
@@ -80,10 +84,12 @@ class UnaryBlock(nn.Module):
     out_dim: int
     use_norm: bool = True
     no_relu: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, mask):
-        x = make_dense(self.out_dim, use_bias=False, name="mlp")(x)
+        x = make_dense(self.out_dim, use_bias=False, name="mlp", dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
         x = NormBlock(self.out_dim, self.use_norm, name="norm")(x, mask)
         if not self.no_relu:
             x = nn.leaky_relu(x, 0.1)
@@ -94,10 +100,12 @@ class LastUnaryBlock(nn.Module):
     """Bare linear, no norm/activation (blocks.py:511-533)."""
 
     out_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, mask):
-        return make_dense(self.out_dim, use_bias=False, name="mlp")(x)
+        out = make_dense(self.out_dim, use_bias=False, name="mlp", dtype=self.dtype)(x)
+        return out.astype(jnp.float32)
 
 
 class SimpleBlock(nn.Module):
@@ -110,6 +118,7 @@ class SimpleBlock(nn.Module):
     config_kp: dict
     strided: bool = False
     kp_seed: int = 0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, q_pts, s_pts, neighb_inds, q_mask):
@@ -120,6 +129,7 @@ class SimpleBlock(nn.Module):
             radius=self.radius,
             kp_extent=self.kp_extent,
             seed=self.kp_seed,
+            compute_dtype=self.dtype or jnp.float32,
             name="KPConv",
             **self.config_kp,
         )(q_pts, s_pts, neighb_inds, x)
@@ -138,12 +148,13 @@ class ResnetBottleneckBlock(nn.Module):
     config_kp: dict
     strided: bool = False
     kp_seed: int = 0
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, q_pts, s_pts, neighb_inds, q_mask, s_mask):
         quarter = self.out_dim // 4
         if self.in_dim != quarter:
-            y = UnaryBlock(quarter, name="unary1")(x, s_mask)
+            y = UnaryBlock(quarter, name="unary1", dtype=self.dtype)(x, s_mask)
         else:
             y = x
         y = KPConv(
@@ -152,16 +163,17 @@ class ResnetBottleneckBlock(nn.Module):
             radius=self.radius,
             kp_extent=self.kp_extent,
             seed=self.kp_seed,
+            compute_dtype=self.dtype or jnp.float32,
             name="KPConv",
             **self.config_kp,
         )(q_pts, s_pts, neighb_inds, y)
         y = NormBlock(quarter, name="norm_conv")(y, q_mask)
         y = nn.leaky_relu(y, 0.1)
-        y = UnaryBlock(self.out_dim, no_relu=True, name="unary2")(y, q_mask)
+        y = UnaryBlock(self.out_dim, no_relu=True, name="unary2", dtype=self.dtype)(y, q_mask)
 
         shortcut = max_pool(x, neighb_inds) if self.strided else x
         if self.in_dim != self.out_dim:
-            shortcut = UnaryBlock(self.out_dim, no_relu=True, name="unary_shortcut")(
-                shortcut, q_mask
-            )
+            shortcut = UnaryBlock(
+                self.out_dim, no_relu=True, name="unary_shortcut", dtype=self.dtype
+            )(shortcut, q_mask)
         return nn.leaky_relu(y + shortcut, 0.1)

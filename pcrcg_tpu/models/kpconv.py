@@ -45,6 +45,7 @@ def kpconv(
     kp_extent: float,
     influence: str = "linear",
     aggregation: str = "sum",
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """q_pts [Nq,3], s_pts [Ns,3], neighb_inds [Nq,H] (pad=Ns), x [Ns,Cin],
     kernel_points [K,3], weights [K,Cin,Cout] -> [Nq,Cout]."""
@@ -81,16 +82,29 @@ def kpconv(
     # Unrolling K keeps it a fused VPU multiply-reduce with no [N,H,K,C]
     # intermediate.
     k_count = kernel_points.shape[0]
+    # Feature path in compute_dtype (bf16 halves the gather/reduce HBM
+    # traffic); geometry (distances/influence) stays f32 above.
+    neighb_x_c = neighb_x.astype(compute_dtype)
+    all_weights_c = all_weights.astype(compute_dtype)
     weighted = jnp.stack(
         [
-            jnp.sum(all_weights[:, :, k][:, :, None] * neighb_x, axis=1)
+            jnp.sum(
+                all_weights_c[:, :, k][:, :, None] * neighb_x_c,
+                axis=1,
+                dtype=jnp.float32,  # f32 accumulation over the H neighbors
+            )
             for k in range(k_count)
         ],
         axis=1,
-    )  # [Nq,K,Cin]
+    ).astype(compute_dtype)  # [Nq,K,Cin]
 
-    # One LARGE matmul over the flattened (K·Cin) axis — MXU-friendly.
-    out = weighted.reshape(weighted.shape[0], -1) @ weights.reshape(-1, weights.shape[-1])
+    # One LARGE matmul over the flattened (K·Cin) axis — MXU-friendly,
+    # f32 accumulation.
+    out = jnp.matmul(
+        weighted.reshape(weighted.shape[0], -1),
+        weights.astype(compute_dtype).reshape(-1, weights.shape[-1]),
+        preferred_element_type=jnp.float32,
+    )
 
     # Reference normalization heuristic (blocks.py:369-372).
     neighbor_num = jnp.sum(jnp.sum(neighb_x, axis=-1) > 0.0, axis=-1)
@@ -115,6 +129,7 @@ class KPConv(nn.Module):
     aggregation: str = "sum"
     fixed: str = "center"
     seed: int = 0
+    compute_dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb_inds, x):
@@ -135,6 +150,7 @@ class KPConv(nn.Module):
             return kpconv(
                 q, s, n, f, kernel_points, weights,
                 self.kp_extent, self.influence, self.aggregation,
+                compute_dtype=self.compute_dtype,
             )
 
         return jax.vmap(conv_one)(q_pts, s_pts, neighb_inds, x)

@@ -138,6 +138,7 @@ class KPFCNN(nn.Module):
     def __call__(self, pyramid: Pyramid, features: jnp.ndarray):
         cfg = self.config
         plan = plan_architecture(cfg)
+        cdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         kp_kwargs = dict(
             num_kernel_points=cfg.num_kernel_points,
             influence=cfg.KP_influence,
@@ -168,6 +169,7 @@ class KPFCNN(nn.Module):
                 config_kp=kp_kwargs,
                 strided=bp.strided,
                 kp_seed=bp.kp_seed,
+                dtype=cdtype,
                 name=f"encoder_{block_i}",
             )
             if bp.kind == "simple":
@@ -214,9 +216,13 @@ class KPFCNN(nn.Module):
             if bp.kind == "upsample":
                 x = closest_pool(x, pyramid.upsamples[lvl - 1])
             elif bp.kind == "unary":
-                x = UnaryBlock(bp.out_dim, name=f"decoder_{block_i}")(x, pyramid.masks[lvl])
+                x = UnaryBlock(bp.out_dim, dtype=cdtype, name=f"decoder_{block_i}")(
+                    x, pyramid.masks[lvl]
+                )
             else:
-                x = LastUnaryBlock(bp.out_dim, name=f"decoder_{block_i}")(x, pyramid.masks[lvl])
+                x = LastUnaryBlock(bp.out_dim, dtype=cdtype, name=f"decoder_{block_i}")(
+                    x, pyramid.masks[lvl]
+                )
 
         d = cfg.final_feats_dim
         feats_f = masked_l2_normalize(x[..., :d])

@@ -110,3 +110,17 @@ def test_gradients_flow(tiny_forward):
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
     assert total > 0.0
+
+
+def test_bfloat16_compute_close_to_f32(tiny_forward):
+    cfg, pts, mask, pyr, feats, model, variables, out = tiny_forward
+    cfg16 = cfg.replace(compute_dtype="bfloat16")
+    out16 = KPFCNN(cfg16).apply(variables, pyr, feats)
+    m = np.asarray(mask)
+    # Descriptors stay unit-norm and close; scores close in absolute terms.
+    d = np.abs(np.asarray(out16["feats_f"])[m] - np.asarray(out["feats_f"])[m])
+    assert np.median(d) < 0.05
+    s = np.abs(
+        np.asarray(out16["scores_overlap"])[m] - np.asarray(out["scores_overlap"])[m]
+    )
+    assert np.median(s) < 0.05
