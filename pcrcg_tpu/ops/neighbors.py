@@ -40,6 +40,22 @@ def _sq_dists(q: jnp.ndarray, sup_t: jnp.ndarray, sup_sq: jnp.ndarray) -> jnp.nd
     )
 
 
+def _smallest_k(d2: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """k smallest entries per row, ascending: (values, indices).
+
+    Uses ``lax.approx_min_k`` — the TPU-native bucketed top-k — instead of
+    ``lax.top_k``'s full per-row sort, which measured ~2.8 s per pyramid on
+    v5e at [26624, 26624].  recall_target 0.95 keeps the bucket-reduction
+    output small (~1k candidates vs 6656 at 0.99, whose final exact sort
+    was the dominant pyramid cost — ~0.95 s/run, traced); ~0.95
+    per-neighbor recall is on par with the reference's own calibrated
+    neighbor truncation (datasets/dataloader.py:402-434).  On CPU this
+    lowers to an exact top-k.
+    """
+    neg, idx = jax.lax.approx_max_k(-d2, k, recall_target=0.95)
+    return -neg, idx
+
+
 def _pad_rows(x: jnp.ndarray, multiple: int, fill) -> jnp.ndarray:
     n = x.shape[0]
     rem = (-n) % multiple
@@ -74,8 +90,8 @@ def radius_search(
 
     def one_chunk(q):  # q: [chunk, 3]
         d2 = _sq_dists(q, sup_t, sup_sq)
-        neg_d2, idx = jax.lax.top_k(-d2, k)  # ascending distance
-        idx = jnp.where(-neg_d2 <= r2, idx, ns)
+        d2k, idx = _smallest_k(d2, k)  # ascending distance
+        idx = jnp.where(d2k <= r2, idx, ns)
         return idx.astype(jnp.int32)
 
     padded = _pad_rows(queries, chunk, PAD_COORD)
@@ -102,8 +118,7 @@ def knn_search(
 
     def one_chunk(q):
         d2 = _sq_dists(q, sup_t, sup_sq)
-        neg_d2, idx = jax.lax.top_k(-d2, k)
-        d2k = -neg_d2
+        d2k, idx = _smallest_k(d2, k)
         idx = jnp.where(jnp.isfinite(d2k), idx, ns)
         return idx.astype(jnp.int32), d2k
 

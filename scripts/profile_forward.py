@@ -70,17 +70,25 @@ if __name__ == "__main__":
                     x = ResnetBottleneckBlock(**common)(x, q_pts, s_pts, neighb, q_mask, s_mask)
             return x
 
+    def readback(out):
+        # Force completion: async dispatch returns immediately under the
+        # axon plugin, so only a host readback gives a true wall clock.
+        leaves = jax.tree_util.tree_leaves(out)
+        return float(jnp.sum(leaves[0].astype(jnp.float32)))
+
     def timed(name, model, *args):
         variables = jax.jit(model.init)(jax.random.key(0), *args)
-        jax.block_until_ready(variables)
+        readback(variables)
         f = jax.jit(model.apply)
-        out = f(variables, *args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(5):
-            out = f(variables, *args)
-        jax.block_until_ready(out)
-        print(f"{name}: {(time.perf_counter()-t0)/5*1000:.1f} ms", flush=True)
+        readback(f(variables, *args))
+        ts = []
+        for i in range(3):
+            a = (args[0], args[1] * (1.0 + 1e-6 * (i + 1)), *args[2:])
+            t0 = time.perf_counter()
+            out = f(variables, *a)
+            readback(out)
+            ts.append((time.perf_counter() - t0) * 1000)
+        print(f"{name}: " + " ".join(f"{t:.1f}" for t in ts) + " ms", flush=True)
 
     which = sys.argv[1:] or ["enc3", "enc11", "full"]
     if "enc3" in which:
