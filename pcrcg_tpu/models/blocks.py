@@ -121,7 +121,7 @@ class SimpleBlock(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, q_pts, s_pts, neighb_inds, q_mask):
+    def __call__(self, x, q_pts, s_pts, neighb_inds, q_mask, neighbors_rel=None):
         half = self.out_dim // 2
         x = KPConv(
             in_channels=self.in_dim,
@@ -132,7 +132,7 @@ class SimpleBlock(nn.Module):
             compute_dtype=self.dtype or jnp.float32,
             name="KPConv",
             **self.config_kp,
-        )(q_pts, s_pts, neighb_inds, x)
+        )(q_pts, s_pts, neighb_inds, x, neighbors_rel)
         x = NormBlock(half, name="norm")(x, q_mask)
         return nn.leaky_relu(x, 0.1)
 
@@ -151,7 +151,7 @@ class ResnetBottleneckBlock(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x, q_pts, s_pts, neighb_inds, q_mask, s_mask):
+    def __call__(self, x, q_pts, s_pts, neighb_inds, q_mask, s_mask, neighbors_rel=None):
         quarter = self.out_dim // 4
         if self.in_dim != quarter:
             y = UnaryBlock(quarter, name="unary1", dtype=self.dtype)(x, s_mask)
@@ -166,7 +166,7 @@ class ResnetBottleneckBlock(nn.Module):
             compute_dtype=self.dtype or jnp.float32,
             name="KPConv",
             **self.config_kp,
-        )(q_pts, s_pts, neighb_inds, y)
+        )(q_pts, s_pts, neighb_inds, y, neighbors_rel)
         y = NormBlock(quarter, name="norm_conv")(y, q_mask)
         y = nn.leaky_relu(y, 0.1)
         y = UnaryBlock(self.out_dim, no_relu=True, name="unary2", dtype=self.dtype)(y, q_mask)

@@ -46,12 +46,21 @@ def kpconv(
     influence: str = "linear",
     aggregation: str = "sum",
     compute_dtype=jnp.float32,
+    neighbors_rel=None,
 ) -> jnp.ndarray:
     """q_pts [Nq,3], s_pts [Ns,3], neighb_inds [Nq,H] (pad=Ns), x [Ns,Cin],
-    kernel_points [K,3], weights [K,Cin,Cout] -> [Nq,Cout]."""
-    # Gather neighbor coordinates; shadow index -> PAD_COORD (far away).
-    neighbors = pad_gather(s_pts, neighb_inds, fill_value=PAD_COORD)
-    neighbors = neighbors - q_pts[:, None, :]  # [Nq,H,3]
+    kernel_points [K,3], weights [K,Cin,Cout] -> [Nq,Cout].
+
+    ``neighbors_rel`` [Nq,H,3] (gathered neighbor coords minus query) can be
+    precomputed once per pyramid level and shared across every block at that
+    level — TPU gathers are latency-bound (~3.5 ns/row measured), so
+    repeating the coordinate gather in all 17 blocks costs real time."""
+    if neighbors_rel is None:
+        # Gather neighbor coordinates; shadow index -> PAD_COORD (far away).
+        neighbors = pad_gather(s_pts, neighb_inds, fill_value=PAD_COORD)
+        neighbors = neighbors - q_pts[:, None, :]  # [Nq,H,3]
+    else:
+        neighbors = neighbors_rel
 
     # Squared distances to each kernel point [Nq,H,K].
     diff = neighbors[:, :, None, :] - kernel_points[None, None, :, :]
@@ -132,8 +141,9 @@ class KPConv(nn.Module):
     compute_dtype: object = jnp.float32
 
     @nn.compact
-    def __call__(self, q_pts, s_pts, neighb_inds, x):
-        """q_pts [B,Nq,3], s_pts [B,Ns,3], neighb_inds [B,Nq,H], x [B,Ns,C]."""
+    def __call__(self, q_pts, s_pts, neighb_inds, x, neighbors_rel=None):
+        """q_pts [B,Nq,3], s_pts [B,Ns,3], neighb_inds [B,Nq,H], x [B,Ns,C],
+        optional shared neighbors_rel [B,Nq,H,3]."""
         kp = layer_kernel_points(
             self.radius, self.num_kernel_points, fixed=self.fixed, seed=self.seed
         )
@@ -146,11 +156,13 @@ class KPConv(nn.Module):
             (self.num_kernel_points, self.in_channels, self.out_channels),
         )
 
-        def conv_one(q, s, n, f):
+        def conv_one(q, s, n, f, rel=None):
             return kpconv(
                 q, s, n, f, kernel_points, weights,
                 self.kp_extent, self.influence, self.aggregation,
-                compute_dtype=self.compute_dtype,
+                compute_dtype=self.compute_dtype, neighbors_rel=rel,
             )
 
+        if neighbors_rel is not None:
+            return jax.vmap(conv_one)(q_pts, s_pts, neighb_inds, x, neighbors_rel)
         return jax.vmap(conv_one)(q_pts, s_pts, neighb_inds, x)

@@ -148,6 +148,30 @@ class KPFCNN(nn.Module):
         extent_ratio = cfg.KP_extent / cfg.conv_radius
 
         # 1. joint encoder
+        # Per-level relative neighbor coordinates, gathered ONCE and shared
+        # by every block at the level (TPU gathers are latency-bound; the
+        # reference re-gathers inside each KPConv, blocks.py:269-275).
+        from pcrcg_tpu.ops.masked import PAD_COORD, pad_gather
+
+        def rel_coords(q_pts, s_pts, neighb):
+            def one(q, s, n):
+                return pad_gather(s, n, fill_value=PAD_COORD) - q[:, None, :]
+
+            return jax.lax.stop_gradient(jax.vmap(one)(q_pts, s_pts, neighb))
+
+        conv_rel = {}
+        pool_rel = {}
+        for bp in plan.encoder:
+            lvl = bp.layer
+            if bp.strided and lvl not in pool_rel:
+                pool_rel[lvl] = rel_coords(
+                    pyramid.points[lvl + 1], pyramid.points[lvl], pyramid.pools[lvl]
+                )
+            if not bp.strided and lvl not in conv_rel:
+                conv_rel[lvl] = rel_coords(
+                    pyramid.points[lvl], pyramid.points[lvl], pyramid.neighbors[lvl]
+                )
+
         x = features
         skip_x = []
         for block_i, bp in enumerate(plan.encoder):
@@ -157,9 +181,11 @@ class KPFCNN(nn.Module):
             if bp.strided:
                 q_pts, q_mask = pyramid.points[lvl + 1], pyramid.masks[lvl + 1]
                 neighb = pyramid.pools[lvl]
+                rel = pool_rel[lvl]
             else:
                 q_pts, q_mask = pyramid.points[lvl], pyramid.masks[lvl]
                 neighb = pyramid.neighbors[lvl]
+                rel = conv_rel[lvl]
             s_pts, s_mask = pyramid.points[lvl], pyramid.masks[lvl]
             common = dict(
                 in_dim=bp.in_dim,
@@ -173,9 +199,11 @@ class KPFCNN(nn.Module):
                 name=f"encoder_{block_i}",
             )
             if bp.kind == "simple":
-                x = SimpleBlock(**common)(x, q_pts, s_pts, neighb, q_mask)
+                x = SimpleBlock(**common)(x, q_pts, s_pts, neighb, q_mask, rel)
             else:
-                x = ResnetBottleneckBlock(**common)(x, q_pts, s_pts, neighb, q_mask, s_mask)
+                x = ResnetBottleneckBlock(**common)(
+                    x, q_pts, s_pts, neighb, q_mask, s_mask, rel
+                )
 
         # 2. bottleneck projection (reference 'bottle' 1×1 conv, :107)
         mask_c = pyramid.masks[-1]
