@@ -35,13 +35,16 @@ def load_assets_pair():
     )
 
 
-def main():
+def main(batch_size: int = None):
     from pcrcg_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
+
+    batch_size = batch_size or int(os.environ.get("PCRCG_BENCH_BATCH", "1"))
+    compute_dtype = os.environ.get("PCRCG_BENCH_DTYPE", "float32")
 
     from pcrcg_tpu.config import Config
     from pcrcg_tpu.data.pair import make_pair_batch
@@ -50,10 +53,11 @@ def main():
     from pcrcg_tpu.registration.ransac import feature_correspondences, ransac_pose
     from pcrcg_tpu.registration.sampling import weighted_sample_topk
 
-    cfg = Config()
+    cfg = Config(compute_dtype=compute_dtype)
     src, tgt = load_assets_pair()
     batch = make_pair_batch(
-        [dict(src_pcd=src, tgt_pcd=tgt, rot=np.eye(3), trans=np.zeros(3))],
+        [dict(src_pcd=src, tgt_pcd=tgt, rot=np.eye(3), trans=np.zeros(3))]
+        * batch_size,
         cfg.budgets.points[0],
     )
     model = KPFCNN(cfg)
@@ -84,19 +88,31 @@ def main():
         )
         return res.transform, res.fitness
 
-    args = (batch.points[0], batch.masks[0], batch.features[0])
+    if batch_size > 1:
+        single = register_pair
+        register = jax.jit(
+            lambda p, m, f, k: jax.vmap(lambda pp, mm, ff, kk: single(pp, mm, ff, kk))(
+                p, m, f, jax.random.split(k, batch_size)
+            )
+        )
+        args = (batch.points, batch.masks, batch.features)
+    else:
+        register = register_pair
+        args = (batch.points[0], batch.masks[0], batch.features[0])
     key = jax.random.key(0)
     # Warmup/compile.
-    T, fit = register_pair(*args, key)
-    T.block_until_ready()
+    T, fit = register(*args, key)
+    jax.block_until_ready(T)
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        T, fit = register_pair(*args, jax.random.fold_in(key, i))
-    T.block_until_ready()
+        T, fit = register(*args, jax.random.fold_in(key, i))
+    # Force completion with a host readback (async dispatch returns early
+    # under the tunnel runtime; block_until_ready alone under-measures).
+    float(jnp.sum(T))
     dt = time.perf_counter() - t0
-    pairs_per_sec = iters / dt
+    pairs_per_sec = iters * batch_size / dt
 
     print(
         json.dumps(

@@ -174,6 +174,7 @@ class Config:
     budgets: Budgets = field(default_factory=Budgets)
     data_parallel: int = 1  # pairs sharded over the mesh data axis
     compute_dtype: str = "float32"
+    kpconv_pallas: bool = False  # fused Pallas influence+reduce on TPU (parity with the XLA path; no measured win yet)
     seed: int = 42
 
     @property

@@ -119,6 +119,7 @@ class SimpleBlock(nn.Module):
     strided: bool = False
     kp_seed: int = 0
     dtype: object = None
+    ones_features: bool = False
 
     @nn.compact
     def __call__(self, x, q_pts, s_pts, neighb_inds, q_mask, neighbors_rel=None):
@@ -130,6 +131,7 @@ class SimpleBlock(nn.Module):
             kp_extent=self.kp_extent,
             seed=self.kp_seed,
             compute_dtype=self.dtype or jnp.float32,
+            ones_features=self.ones_features,
             name="KPConv",
             **self.config_kp,
         )(q_pts, s_pts, neighb_inds, x, neighbors_rel)

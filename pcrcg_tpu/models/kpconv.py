@@ -47,6 +47,8 @@ def kpconv(
     aggregation: str = "sum",
     compute_dtype=jnp.float32,
     neighbors_rel=None,
+    ones_features: bool = False,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """q_pts [Nq,3], s_pts [Ns,3], neighb_inds [Nq,H] (pad=Ns), x [Ns,Cin],
     kernel_points [K,3], weights [K,Cin,Cout] -> [Nq,Cout].
@@ -61,6 +63,34 @@ def kpconv(
         neighbors = neighbors - q_pts[:, None, :]  # [Nq,H,3]
     else:
         neighbors = neighbors_rel
+
+    if ones_features:
+        # Fast path for the ones-column input (in_feats_dim == 1): the
+        # gathered feature equals "neighbor index is real" — no gather.
+        neighb_x0 = (neighb_inds < x.shape[0]).astype(x.dtype)[..., None]
+    else:
+        neighb_x0 = None
+
+    if (
+        use_pallas
+        and aggregation == "sum"
+        and influence in ("linear", "gaussian", "constant")
+        and x.shape[-1] >= 8
+        and jax.default_backend() == "tpu"
+    ):
+        from pcrcg_tpu.ops.kpconv_pallas import kpconv_weighted_reduce
+
+        nx = neighb_x0 if neighb_x0 is not None else pad_gather(x, neighb_inds, 0.0)
+        weighted, neighbor_num = kpconv_weighted_reduce(
+            neighbors, nx, kernel_points, kp_extent, influence,
+            out_dtype=compute_dtype,
+        )
+        out = jnp.matmul(
+            weighted.reshape(weighted.shape[0], -1),
+            weights.astype(compute_dtype).reshape(-1, weights.shape[-1]),
+            preferred_element_type=jnp.float32,
+        )
+        return out / neighbor_num[:, None].astype(out.dtype)
 
     # Squared distances to each kernel point [Nq,H,K].
     diff = neighbors[:, :, None, :] - kernel_points[None, None, :, :]
@@ -82,8 +112,13 @@ def kpconv(
     elif aggregation != "sum":
         raise ValueError(f"Unknown aggregation mode: {aggregation}")
 
-    # Gather neighbor features; shadow rows are zero.
-    neighb_x = pad_gather(x, neighb_inds, fill_value=0.0)  # [Nq,H,Cin]
+    if neighb_x0 is not None:
+        # (reference indoor.py:179-180 — pad SUPPORT rows sit at PAD_COORD
+        # and are never within radius, so idx < Ns suffices.)
+        neighb_x = neighb_x0
+    else:
+        # Gather neighbor features; shadow rows are zero.
+        neighb_x = pad_gather(x, neighb_inds, fill_value=0.0)  # [Nq,H,Cin]
 
     # Influence-weighted sum over neighbors.  NOT an einsum 'nhk,nhc->nkc':
     # that is a batch of Nq tiny [K,H]@[H,C] matmuls, which XLA pads to
@@ -139,6 +174,8 @@ class KPConv(nn.Module):
     fixed: str = "center"
     seed: int = 0
     compute_dtype: object = jnp.float32
+    ones_features: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb_inds, x, neighbors_rel=None):
@@ -161,6 +198,7 @@ class KPConv(nn.Module):
                 q, s, n, f, kernel_points, weights,
                 self.kp_extent, self.influence, self.aggregation,
                 compute_dtype=self.compute_dtype, neighbors_rel=rel,
+                ones_features=self.ones_features, use_pallas=self.use_pallas,
             )
 
         if neighbors_rel is not None:

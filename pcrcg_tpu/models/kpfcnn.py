@@ -144,6 +144,7 @@ class KPFCNN(nn.Module):
             influence=cfg.KP_influence,
             aggregation=cfg.aggregation_mode,
             fixed=cfg.fixed_kernel_points,
+            use_pallas=cfg.kpconv_pallas,
         )
         extent_ratio = cfg.KP_extent / cfg.conv_radius
 
@@ -199,7 +200,15 @@ class KPFCNN(nn.Module):
                 name=f"encoder_{block_i}",
             )
             if bp.kind == "simple":
-                x = SimpleBlock(**common)(x, q_pts, s_pts, neighb, q_mask, rel)
+                # Block 0 over the ones-column input (in_feats_dim 1, no 2D
+                # branch): neighbor features == validity bits; skip the
+                # latency-bound gather inside KPConv.
+                ones_fast = (
+                    block_i == 0 and cfg.in_feats_dim == 1 and not cfg.image_feature
+                )
+                x = SimpleBlock(**common, ones_features=ones_fast)(
+                    x, q_pts, s_pts, neighb, q_mask, rel
+                )
             else:
                 x = ResnetBottleneckBlock(**common)(
                     x, q_pts, s_pts, neighb, q_mask, s_mask, rel

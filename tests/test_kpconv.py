@@ -63,3 +63,33 @@ def test_kpconv_all_shadow_row_is_finite(rng):
     got = np.asarray(kpconv(*(jnp.asarray(a) for a in (q, s, neighb, x, kp, w)), 1.0))
     assert np.all(np.isfinite(got))
     np.testing.assert_allclose(got[0], 0.0, atol=1e-6)
+
+
+def test_pallas_weighted_reduce_matches_jnp(rng):
+    """The fused Pallas kernel (interpret mode on CPU) must reproduce the
+    jnp influence+reduce path bit-for-bit-ish."""
+    from pcrcg_tpu.ops.kpconv_pallas import kpconv_weighted_reduce
+
+    n, h, k, c = 70, 12, 15, 16
+    rel = rng.normal(scale=0.5, size=(n, h, 3)).astype(np.float32)
+    nx = np.abs(rng.normal(size=(n, h, c))).astype(np.float32)
+    nx[rng.uniform(size=(n, h)) < 0.2] = 0.0  # shadow rows
+    kp = rng.normal(scale=0.4, size=(k, 3)).astype(np.float32)
+    extent = 1.1
+
+    for influence in ("linear", "gaussian", "constant"):
+        got_w, got_nn = kpconv_weighted_reduce(
+            jnp.asarray(rel), jnp.asarray(nx), jnp.asarray(kp), extent,
+            influence, interpret=True,
+        )
+        sq = ((rel[:, :, None, :] - kp[None, None]) ** 2).sum(-1)
+        if influence == "linear":
+            w = np.maximum(1 - np.sqrt(sq) / extent, 0.0)
+        elif influence == "gaussian":
+            w = np.exp(-sq / (2 * (extent * 0.3) ** 2 + 1e-9))
+        else:
+            w = np.ones_like(sq)
+        want_w = np.einsum("nhk,nhc->nkc", w, nx)
+        want_nn = np.maximum((nx.sum(-1) > 0).sum(-1), 1)
+        np.testing.assert_allclose(np.asarray(got_w), want_w, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_nn), want_nn)

@@ -65,8 +65,10 @@ def test_eval_and_infer_steps(setup):
 
 def test_nan_gate_skips_bad_grads(setup):
     cfg, model, state, batch = setup
-    # Poison the batch so the forward produces NaNs -> grads non-finite.
-    bad = batch.replace(features=batch.features * jnp.nan)
+    # Poison the GT rotation so the loss produces NaNs -> grads non-finite.
+    # (Features can't be the poison carrier: with in_feats_dim == 1 the
+    # ones-column fast path ignores feature VALUES by design.)
+    bad = batch.replace(rot=batch.rot * jnp.nan)
     params_before = jax.tree_util.tree_leaves(state.params)[0].copy()
     new_state, stats = train_step(model, cfg, state, bad, jax.random.key(3))
     params_after = jax.tree_util.tree_leaves(new_state.params)[0]
