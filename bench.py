@@ -104,13 +104,19 @@ def main(batch_size: int = None):
     T, fit = register(*args, key)
     jax.block_until_ready(T)
 
+    # One extra warm call: the first post-compile execution of a fresh
+    # executable carries ~1s of one-time staging on this runtime.
+    T, fit = register(*args, jax.random.fold_in(key, 999))
+    float(jnp.sum(T))
+
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         T, fit = register(*args, jax.random.fold_in(key, i))
-    # Force completion with a host readback (async dispatch returns early
-    # under the tunnel runtime; block_until_ready alone under-measures).
-    float(jnp.sum(T))
+        # Consume each result on host (the serving pattern); also the only
+        # reliable completion barrier on this runtime — block_until_ready
+        # returns early under the tunnel plugin.
+        float(jnp.sum(T))
     dt = time.perf_counter() - t0
     pairs_per_sec = iters * batch_size / dt
 
