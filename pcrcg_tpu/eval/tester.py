@@ -40,7 +40,11 @@ from pcrcg_tpu.train.step import forward_pair
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "cfg", "n_points", "distance_threshold", "ransac_n", "mutual")
+    jax.jit,
+    static_argnames=(
+        "model", "cfg", "n_points", "distance_threshold", "ransac_n", "mutual",
+        "num_iterations", "hypothesis_chunk",
+    ),
 )
 def register_pair_jit(
     model,
@@ -55,6 +59,8 @@ def register_pair_jit(
     distance_threshold: float = 0.05,
     ransac_n: int = 3,
     mutual: bool = False,
+    num_iterations: int = 50000,
+    hypothesis_chunk: int = 1024,
 ):
     """Full on-device pair → SE(3): forward, interest-point sampling by
     overlap×saliency (tester.py:146-164), feature matching, RANSAC."""
@@ -69,7 +75,7 @@ def register_pair_jit(
     res = ransac_pose(
         k3, s_pts, t_pts, corr, valid,
         distance_threshold=distance_threshold, ransac_n=ransac_n,
-        num_iterations=50000, hypothesis_chunk=1024,
+        num_iterations=num_iterations, hypothesis_chunk=hypothesis_chunk,
     )
     return {
         "transform": res.transform,
@@ -99,7 +105,8 @@ class IndoorTester:
         self.gt_folder = gt_folder
 
     def run(self, dataset, loader, n_points: int = 5000, mutual: bool = False,
-            est_folder: Optional[str] = None, key=None) -> Dict:
+            est_folder: Optional[str] = None, key=None,
+            num_iterations: int = 50000, hypothesis_chunk: int = 1024) -> Dict:
         est_folder = est_folder or os.path.join(self.cfg.exp_dir, "est_traj")
         key = key if key is not None else jax.random.key(self.cfg.seed)
         per_scene_pairs = defaultdict(list)
@@ -116,6 +123,7 @@ class IndoorTester:
                     self.model, self.cfg, self.variables,
                     batch.points[b], batch.masks[b], batch.features[b], sub, im,
                     n_points=n_points, mutual=mutual,
+                    num_iterations=num_iterations, hypothesis_chunk=hypothesis_chunk,
                 )
                 T = to_homogeneous(res["transform"])
                 scene = scene_of(infos["src"][idx])

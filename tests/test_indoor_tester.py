@@ -1,0 +1,72 @@
+"""IndoorTester end-to-end integration test on a synthetic 2-fragment
+scene: dataset fixture -> on-device registration -> est.log -> recall
+protocol.  The model is untrained, so RANSAC sees near-random descriptors;
+the check is plumbing + protocol, not recall quality."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from pcrcg_tpu.config import tiny_test_config
+from pcrcg_tpu.data.indoor import IndoorDataset
+from pcrcg_tpu.data.loader import PairLoader
+from pcrcg_tpu.eval.benchmark_3dmatch import write_trajectory
+from pcrcg_tpu.eval.tester import IndoorTester, fragment_id, scene_of
+from pcrcg_tpu.train.trainer import init_model
+
+
+def test_fragment_id_parsing():
+    assert fragment_id("test/scene-a/cloud_bin_17.pth") == 17
+    assert scene_of("test/scene-a/cloud_bin_17.pth") == "scene-a"
+
+
+@pytest.mark.slow
+def test_indoor_tester_end_to_end(tmp_path, rng):
+    scene = "7-scenes-fake"
+    root = tmp_path / "data"
+    (root / "test" / scene).mkdir(parents=True)
+    base = rng.uniform(0, 0.5, size=(200, 3)).astype(np.float32)
+    # fragments 0,1,2: pairs (0,2) tested (non-consecutive only)
+    for i in range(3):
+        torch.save(torch.from_numpy(base + 0.01 * i), root / "test" / scene / f"cloud_bin_{i}.pth")
+    infos = {
+        "rot": [np.eye(3)],
+        "trans": [np.full((3, 1), -0.02, np.float32)],
+        "src": [f"test/{scene}/cloud_bin_2.pth"],
+        "tgt": [f"test/{scene}/cloud_bin_0.pth"],
+        "overlap": [0.9],
+    }
+    info_path = root / "pairs.pkl"
+    with open(info_path, "wb") as f:
+        pickle.dump(infos, f)
+
+    # synthetic gt folder with the (0,2) pair
+    gt_dir = tmp_path / "gt" / scene
+    gt_dir.mkdir(parents=True)
+    T = np.eye(4)
+    T[:3, 3] = -0.02
+    write_trajectory(str(gt_dir / "gt.log"), np.array([[0, 2]]), T[None], 3)
+    with open(gt_dir / "gt.info", "w") as f:
+        f.write("0\t2\t3\n")
+        for row in np.eye(6):
+            f.write("\t".join(f"{v:.6e}" for v in row) + "\n")
+
+    cfg = tiny_test_config(root=str(root), exp_dir=str(tmp_path / "exp"))
+    ds = IndoorDataset(str(info_path), cfg, data_augmentation=False)
+    model, variables = init_model(cfg)
+    tester = IndoorTester(cfg, model, variables, str(tmp_path / "gt"))
+    loader = PairLoader(ds, cfg.budgets.points[0], num_threads=1)
+    out = tester.run(
+        ds, loader, n_points=64, num_iterations=256, hypothesis_chunk=64,
+        est_folder=str(tmp_path / "est"),
+    )
+    res = out["benchmark"]
+    assert scene in {s for s in os.listdir(tmp_path / "est")}
+    assert 0.0 <= res.weighted_recall <= 1.0
+    est_log = tmp_path / "est" / scene / "est.log"
+    assert est_log.exists()
+    first = open(est_log).readline().split()
+    assert first[:2] == ["0", "2"]
