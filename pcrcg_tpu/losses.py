@@ -213,10 +213,34 @@ def metric_loss(
 
     if extras:
         if "node_overlap_score_pred" in extras:
+            # Super-node overlap GT (reference datasets/dataloader.py:107-198
+            # point2node_correspondences): each fine point is assigned to its
+            # nearest bottleneck node; a node's label is the fraction of its
+            # points inside the overlap region — computed on device here
+            # instead of in CPU collation.
+            from pcrcg_tpu.ops.neighbors import knn_search
+
+            nodes = extras["nodes"]  # [2,Nc,3]
+            node_masks = extras["node_masks"]  # [2,Nc]
+            nc = nodes.shape[1]
+
+            def node_vis(points, mask, over, node_pts, node_mask):
+                idx, _ = knn_search(points, node_pts, node_mask, 1, chunk)
+                idx = jnp.minimum(idx[:, 0], nc - 1)
+                idx = jnp.where(mask, idx, nc)  # drop pad points
+                tot = jnp.zeros((nc,)).at[idx].add(1.0, mode="drop")
+                vis = jnp.zeros((nc,)).at[idx].add(over.astype(jnp.float32), mode="drop")
+                return vis / jnp.maximum(tot, 1.0)
+
+            gt_nodes = jnp.concatenate(
+                [
+                    node_vis(src_warp, inputs.src_mask, src_over, nodes[0], node_masks[0]),
+                    node_vis(inputs.tgt_pcd, inputs.tgt_mask, tgt_over, nodes[1], node_masks[1]),
+                ]
+            )
+            node_valid = jnp.concatenate([node_masks[0], node_masks[1]])
             no_loss, no_prec, no_rec = weighted_bce(
-                extras["node_overlap_score_pred"],
-                extras["node_overlap_gt"],
-                extras["node_overlap_valid"],
+                extras["node_overlap_score_pred"].reshape(-1), gt_nodes, node_valid
             )
             stats["node_overlap_loss"] = no_loss
             stats["node_overlap_precision"] = no_prec

@@ -57,6 +57,10 @@ def pair_loss(
         scores_saliency=jnp.concatenate([out["scores_saliency"][0], out["scores_saliency"][1]]),
     )
     extras = {}
+    if cfg.node_overlap:
+        extras["node_overlap_score_pred"] = out["node_overlap_score_pred"]
+        extras["nodes"] = pyramid.points[-1]
+        extras["node_masks"] = pyramid.masks[-1]
     if cfg.quaternion:
         from pcrcg_tpu.geom import so3
 

@@ -73,3 +73,30 @@ def test_nan_gate_skips_bad_grads(setup):
     new_state, stats = train_step(model, cfg, state, bad, jax.random.key(3))
     params_after = jax.tree_util.tree_leaves(new_state.params)[0]
     np.testing.assert_array_equal(np.asarray(params_before), np.asarray(params_after))
+
+
+def test_aux_heads_train_step(setup):
+    """node_overlap and quaternion heads participate in the loss."""
+    cfg, model, state, batch = setup
+    cfg2 = cfg.replace(node_overlap=True, quaternion=True)
+    from pcrcg_tpu.models.kpfcnn import KPFCNN
+    from pcrcg_tpu.ops.pyramid import build_pyramid
+    from pcrcg_tpu.train.state import create_train_state
+
+    model2 = KPFCNN(cfg2)
+    pyr = build_pyramid(
+        batch.points[0], batch.masks[0], cfg2.budgets,
+        cfg2.first_subsampling_dl, cfg2.conv_radius,
+    )
+    variables = model2.init(jax.random.key(0), pyr, batch.features[0])
+    state2 = create_train_state(cfg2, variables)
+    state2, stats = train_step(model2, cfg2, state2, batch, jax.random.key(5))
+    for key in ("node_overlap_loss", "pose_loss", "total"):
+        assert np.isfinite(float(stats[key])), key
+    assert float(stats["total"]) == pytest.approx(
+        float(
+            stats["circle_loss"] + stats["overlap_loss"] + stats["saliency_loss"]
+            + stats["node_overlap_loss"] + stats["pose_loss"]
+        ),
+        rel=1e-5,
+    )
