@@ -24,6 +24,12 @@ def main(argv=None):
     parser.add_argument("--tgt", default="/root/reference/assets/cloud_bin_34.pth")
     parser.add_argument("--n_points", type=int, default=1000)
     parser.add_argument("--checkpoint", default="")
+    parser.add_argument(
+        "--scale",
+        type=float,
+        default=1.0,
+        help="shrink the point/ransac budgets (e.g. 0.1 for a quick CPU run)",
+    )
     args = parser.parse_args(argv)
 
     from pcrcg_tpu.utils.jax_setup import enable_compilation_cache
@@ -41,6 +47,18 @@ def main(argv=None):
     if cfg.image_feature:
         # The demo pair has no image stack; run the geometry-only path.
         cfg = cfg.replace(image_feature=False, in_feats_dim=1)
+    if args.scale != 1.0:
+        from pcrcg_tpu.config import Budgets
+
+        b = cfg.budgets
+        cfg = cfg.replace(
+            budgets=Budgets(
+                points=tuple(max(128, int(p * args.scale)) // 64 * 64 for p in b.points),
+                neighbors=b.neighbors,
+                corr_k=b.corr_k,
+                query_chunk=min(b.query_chunk, 256),
+            )
+        )
     src = load_fragment(args.src if args.src else cfg.src_pcd)
     tgt = load_fragment(args.tgt if args.tgt else cfg.tgt_pcd)
     print(f"src {src.shape} tgt {tgt.shape}", flush=True)
@@ -59,11 +77,14 @@ def main(argv=None):
         [dict(src_pcd=src, tgt_pcd=tgt, rot=np.eye(3), trans=np.zeros(3))],
         cfg.budgets.points[0],
     )
+    iters = max(256, int(50000 * args.scale))
+    chunk = min(1024, iters)
     key = jax.random.key(cfg.seed)
     t0 = time.perf_counter()
     res = register_pair_jit(
         model, cfg, variables, batch.points[0], batch.masks[0], batch.features[0],
         key, None, n_points=args.n_points,
+        num_iterations=iters, hypothesis_chunk=chunk,
     )
     T = np.asarray(res["transform"])
     print(f"first call (incl. compile): {time.perf_counter()-t0:.2f}s", flush=True)
@@ -71,6 +92,7 @@ def main(argv=None):
     res = register_pair_jit(
         model, cfg, variables, batch.points[0], batch.masks[0], batch.features[0],
         jax.random.fold_in(key, 1), None, n_points=args.n_points,
+        num_iterations=iters, hypothesis_chunk=chunk,
     )
     jax.block_until_ready(res["transform"])
     print(f"steady-state: {time.perf_counter()-t0:.3f}s", flush=True)
