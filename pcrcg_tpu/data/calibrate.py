@@ -11,7 +11,7 @@ config's ``tpu.budgets`` section instead of being recomputed every run.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 

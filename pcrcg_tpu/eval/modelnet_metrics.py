@@ -11,8 +11,6 @@ from typing import Dict
 
 import numpy as np
 
-from pcrcg_tpu.geom import se3 as jse3
-
 
 def dcm2euler_xyz(mats: np.ndarray) -> np.ndarray:
     """Rotation matrices [N,3,3] -> intrinsic-xyz euler angles in degrees

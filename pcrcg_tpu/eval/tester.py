@@ -25,7 +25,6 @@ from collections import defaultdict
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from pcrcg_tpu.config import Config

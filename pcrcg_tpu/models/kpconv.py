@@ -84,10 +84,11 @@ def kpconv(
         weighted, neighbor_num = kpconv_weighted_reduce(
             neighbors, nx, kernel_points, kp_extent, influence,
             out_dtype=compute_dtype,
-        )
-        out = jnp.matmul(
-            weighted.reshape(weighted.shape[0], -1),
-            weights.astype(compute_dtype).reshape(-1, weights.shape[-1]),
+        )  # weighted [K,Nq,C]
+        out = jnp.einsum(
+            "knc,kcd->nd",
+            weighted,
+            weights.astype(compute_dtype),
             preferred_element_type=jnp.float32,
         )
         return out / neighbor_num[:, None].astype(out.dtype)

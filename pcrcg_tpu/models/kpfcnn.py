@@ -15,7 +15,7 @@ Fidelity notes (SURVEY.md §7 trap-list):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -32,46 +32,37 @@ def _tile_rows(c: int) -> int:
     return 128
 
 
-def _kernel(rel_ref, nx_ref, kp_ref, out_ref, nn_ref, *, kp_extent, influence, k_count):
-    # Mosaic-friendly shapes: keep every op rank ≤ 3 with reductions along
-    # the LAST axis only (middle-axis multi_reductions fail to lower), and
-    # unroll the small static K / H loops.
-    # fori_loop over the H neighbors with a compact [T, K*C (+1)] carry:
-    # a fully unrolled K x H chain keeps every intermediate live on the
-    # Mosaic vector stack and OOMs the 16 MB scoped vmem.
-    t = rel_ref.shape[0]
-    h_count = rel_ref.shape[1]
-    c = nx_ref.shape[2]
-    kp = kp_ref[:]  # [K,3]
+def _kernel_2d(rel_ref, nx_ref, kp_ref, out_ref, nn_ref, *, kp_extent, influence):
+    """Grid (n_tiles, K): one kernel point per instance.  The rel/nx blocks'
+    index maps ignore k, so Pallas keeps them VMEM-resident across the K
+    inner iterations — nx streams from HBM once per tile."""
+    k = pl.program_id(1)
+    rel = rel_ref[:]  # [T,H,3]
+    kp_k = kp_ref[k, :]  # [3]
+    rel_sq = jnp.sum(rel * rel, axis=-1)  # [T,H]
+    dot = jnp.sum(rel * kp_k[None, None, :], axis=-1)
+    sq_k = rel_sq - 2.0 * dot + jnp.sum(kp_k * kp_k)
+    if influence == "linear":
+        w_k = jnp.maximum(1.0 - jnp.sqrt(jnp.maximum(sq_k, 0.0)) / kp_extent, 0.0)
+    elif influence == "gaussian":
+        sigma = kp_extent * 0.3
+        w_k = jnp.exp(-sq_k / (2.0 * sigma**2 + 1e-9))
+    else:  # constant
+        w_k = jnp.ones_like(sq_k)
 
-    def body(h, carry):
-        rel_h = rel_ref[:, h, :]  # [T,3]
-        nx_h = nx_ref[:, h, :].astype(jnp.float32)  # [T,C]
-        rel_sq = jnp.sum(rel_h * rel_h, axis=-1)  # [T]
-        pieces = []
-        for k in range(k_count):
-            kp_k = kp[k, :]
-            dot = jnp.sum(rel_h * kp_k[None, :], axis=-1)  # [T]
-            sq_k = rel_sq - 2.0 * dot + jnp.sum(kp_k * kp_k)
-            if influence == "linear":
-                w_k = jnp.maximum(
-                    1.0 - jnp.sqrt(jnp.maximum(sq_k, 0.0)) / kp_extent, 0.0
-                )
-            elif influence == "gaussian":
-                sigma = kp_extent * 0.3
-                w_k = jnp.exp(-sq_k / (2.0 * sigma**2 + 1e-9))
-            else:  # constant
-                w_k = jnp.ones_like(sq_k)
-            pieces.append(w_k[:, None] * nx_h)
-        valid = (jnp.sum(nx_h, axis=-1, keepdims=True) > 0.0).astype(jnp.float32)
-        pieces.append(valid)
-        return carry + jnp.concatenate(pieces, axis=-1)
+    h_count = rel.shape[1]
+    acc = w_k[:, 0][:, None] * nx_ref[:, 0, :].astype(jnp.float32)
+    for h in range(1, h_count):
+        acc = acc + w_k[:, h][:, None] * nx_ref[:, h, :].astype(jnp.float32)
+    out_ref[0, :, :] = acc.astype(out_ref.dtype)
 
-    init = jnp.zeros((t, k_count * c + 1), jnp.float32)
-    acc = jax.lax.fori_loop(0, h_count, body, init)
-    for k in range(k_count):  # static slices — Mosaic can't lower the 4D reshape
-        out_ref[:, k, :] = acc[:, k * c : (k + 1) * c].astype(out_ref.dtype)
-    nn_ref[:] = jnp.maximum(acc[:, k_count * c :], 1.0)
+    @pl.when(k == 0)
+    def _():
+        c = jnp.zeros_like(rel_sq[:, :1])
+        for h in range(h_count):
+            s = jnp.sum(nx_ref[:, h, :].astype(jnp.float32), axis=-1, keepdims=True)
+            c = c + (s > 0.0).astype(jnp.float32)
+        nn_ref[:] = jnp.maximum(c, 1.0)
 
 
 def kpconv_weighted_reduce(
@@ -84,7 +75,8 @@ def kpconv_weighted_reduce(
     interpret: bool = False,
 ):
     """rel [N,H,3] f32, nx [N,H,C], kernel_points [K,3] ->
-    (weighted [N,K,C] out_dtype, neighbor_num [N] f32)."""
+    (weighted [K,N,C] out_dtype — K leading for legal block tiling —
+    neighbor_num [N] f32)."""
     n, h, _ = rel.shape
     c = nx.shape[-1]
     k_count = kernel_points.shape[0]
@@ -95,24 +87,26 @@ def kpconv_weighted_reduce(
         nx = jnp.pad(nx, ((0, n_pad - n), (0, 0), (0, 0)))
 
     kernel = functools.partial(
-        _kernel, kp_extent=float(kp_extent), influence=influence, k_count=k_count
+        _kernel_2d, kp_extent=float(kp_extent), influence=influence
     )
     weighted, nn = pl.pallas_call(
         kernel,
-        grid=(n_pad // t,),
+        grid=(n_pad // t, k_count),
         in_specs=[
-            pl.BlockSpec((t, h, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, h, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_count, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, h, 3), lambda i, k: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, h, c), lambda i, k: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_count, 3), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((t, k_count, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # [K,N,C] layout: a (T,1,C) block would violate the (8,128)
+            # last-two-dims tiling rule; (1,T,C) is legal.
+            pl.BlockSpec((1, t, c), lambda i, k: (k, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, 1), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, k_count, c), out_dtype),
+            jax.ShapeDtypeStruct((k_count, n_pad, c), out_dtype),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         ],
         interpret=interpret,
     )(rel.astype(jnp.float32), nx, kernel_points.astype(jnp.float32))
-    return weighted[:n], nn[:n, 0]
+    return weighted[:, :n, :], nn[:n, 0]

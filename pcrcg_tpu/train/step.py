@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from pcrcg_tpu.config import Config
 from pcrcg_tpu.data.pair import PairBatch
 from pcrcg_tpu.losses import LossInputs, metric_loss
-from pcrcg_tpu.models.kpfcnn import KPFCNN
 from pcrcg_tpu.ops.pyramid import build_pyramid
 from pcrcg_tpu.train.state import TrainState
 

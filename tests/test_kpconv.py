@@ -89,7 +89,7 @@ def test_pallas_weighted_reduce_matches_jnp(rng):
             w = np.exp(-sq / (2 * (extent * 0.3) ** 2 + 1e-9))
         else:
             w = np.ones_like(sq)
-        want_w = np.einsum("nhk,nhc->nkc", w, nx)
+        want_w = np.einsum("nhk,nhc->knc", w, nx)
         want_nn = np.maximum((nx.sum(-1) > 0).sum(-1), 1)
         np.testing.assert_allclose(np.asarray(got_w), want_w, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(got_nn), want_nn)
