@@ -83,12 +83,15 @@ class MultiHeadedAttention(nn.Module):
         q = make_dense(self.d_model, True, name="proj_q")(query)
         k = make_dense(self.d_model, True, name="proj_k")(key)
         v = make_dense(self.d_model, True, name="proj_v")(value)
-        q = q.reshape(-1, self.num_heads, d)
-        k = k.reshape(-1, self.num_heads, d)
-        v = v.reshape(-1, self.num_heads, d)
-        scores = jnp.einsum("nhd,mhd->hnm", q, k) / (d**0.5)
+        # Head split is DIM-MAJOR: the reference views [B, d_model, N] as
+        # [B, d, H, N] (gcn.py:170-173), so head h owns the STRIDED channel
+        # set {c : c % H == h}, not a contiguous block.
+        q = q.reshape(-1, d, self.num_heads)
+        k = k.reshape(-1, d, self.num_heads)
+        v = v.reshape(-1, d, self.num_heads)
+        scores = jnp.einsum("ndh,mdh->hnm", q, k) / (d**0.5)
         prob = masked_softmax(scores, key_mask[None, None, :], axis=-1)
-        x = jnp.einsum("hnm,mhd->nhd", prob, v)
+        x = jnp.einsum("hnm,mdh->ndh", prob, v)
         return make_dense(self.d_model, True, name="merge")(x.reshape(-1, self.d_model))
 
 

@@ -25,7 +25,20 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-Conv = partial(nn.Conv, use_bias=False, kernel_init=nn.initializers.he_normal())
+def Conv(features, kernel_size, strides=(1, 1), name=None, use_bias=False):
+    """Conv with torch-style SYMMETRIC padding (k//2 each side): flax
+    'SAME' places padding asymmetrically for strided convs, which shifts
+    every downsampling layer relative to torch checkpoints."""
+    k = kernel_size[0]
+    return nn.Conv(
+        features,
+        kernel_size,
+        strides,
+        padding=((k // 2, k // 2), (k // 2, k // 2)),
+        use_bias=use_bias,
+        kernel_init=nn.initializers.he_normal(),
+        name=name,
+    )
 Norm = partial(nn.BatchNorm, use_running_average=True, momentum=0.9, epsilon=1e-5)
 
 
