@@ -172,10 +172,25 @@ class Config:
 
     # --- tpu (new) ---
     budgets: Budgets = field(default_factory=Budgets)
-    data_parallel: int = 1  # pairs sharded over the mesh data axis
+    # Pairs sharded over the mesh 'data' axis (Trainer builds the mesh,
+    # replicates state and shards batches when > 1; batch_size must be a
+    # multiple of it).
+    data_parallel: int = 1
     compute_dtype: str = "float32"
     kpconv_pallas: bool = False  # fused Pallas influence+reduce on TPU (parity with the XLA path; no measured win yet)
     seed: int = 42
+
+    def __post_init__(self):
+        # Deformable/modulated KPConv (reference models/blocks.py:235-316) is
+        # intentionally not implemented — every shipped reference config sets
+        # deformable: False (configs/train/indoor.yaml:44).  Reject instead
+        # of silently ignoring the keys.
+        if self.deformable or self.modulated:
+            raise NotImplementedError(
+                "deformable/modulated KPConv is not supported by the TPU "
+                "rebuild (unused by all shipped reference configs); set "
+                "deformable: False, modulated: False"
+            )
 
     @property
     def architecture(self) -> List[str]:

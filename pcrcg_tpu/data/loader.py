@@ -49,7 +49,7 @@ class PairLoader:
 
     def _make_batch(self, indices) -> tuple[PairBatch, Optional[dict]]:
         samples = [self.dataset[int(i)] for i in indices]
-        batch = make_pair_batch(samples, self.budget)
+        batch = make_pair_batch(samples, self.budget, rng=self.rng)
         images = None
         if all(k in samples[0] for k in self.image_keys):
             images = {

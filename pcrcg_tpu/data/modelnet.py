@@ -77,6 +77,9 @@ class ModelNetHdf:
             "trans": g[:3, 3].astype(np.float32),
             "item": np.int32(item),
             "label": np.int32(sample["label"]),
+            # Clean full cloud for the modified-chamfer metric (reference
+            # lib/tester.py:260,280-286); fixed-size so it batches as-is.
+            "points_raw": sample["points_raw"][:, :3].astype(np.float32),
         }
 
 

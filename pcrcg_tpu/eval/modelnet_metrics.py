@@ -136,13 +136,21 @@ class ModelnetTester:
                 m1 = np.asarray(batch.masks[b][1])
                 srcs.append(np.asarray(batch.points[b][0])[m0])
                 refs.append(np.asarray(batch.points[b][1])[m1])
-                raws.append(refs[-1])  # clean raw cloud unavailable post-padding
+                # Clean full cloud threaded through the batch (reference
+                # tester.py:260 'points_raw'); the model-input ref cloud is
+                # NOT protocol-faithful for the modified chamfer.
+                if batch.extras is None or "points_raw" not in batch.extras:
+                    raise KeyError(
+                        "ModelNet chamfer needs batch.extras['points_raw'] — "
+                        "ensure the dataset emits it (data/modelnet.py)"
+                    )
+                raws.append(np.asarray(batch.extras["points_raw"][b]))
         n = min(len(p) for p in srcs)
         m = min(len(p) for p in refs)
         metrics = compute_metrics(
             np.stack([p[:n] for p in srcs]),
             np.stack([p[:m] for p in refs]),
-            np.stack([p[:m] for p in raws]),
+            np.stack(raws),  # fixed-size clean clouds, no crop needed
             np.stack(gts),
             np.stack(preds),
         )

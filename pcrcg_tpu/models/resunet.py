@@ -9,18 +9,22 @@ TPU-first notes:
 * NHWC layout (TPU conv native), bilinear upsampling expressed as two
   separable interpolation matmuls (rides the MXU) with align_corners=True
   sampling to match torch ``F.interpolate(..., align_corners=True)``;
-* BatchNorm runs with stored statistics ('batch_stats' collection).  The
-  reference detaches all lifted features so backbone2d receives no
-  gradients (architectures.py:300-307) — it is effectively a frozen
-  feature extractor, so inference-mode BN is exact parity for training
-  dynamics, and pretrained torch weights import directly
-  (models/torch_import.py).
+* BatchNorm matches what the reference actually RUNS: backbone2d never
+  leaves torch train mode (lib/trainer.py:49-70 builds it and neither
+  trainer nor tester ever calls .eval() on it) and is fed ONE image per
+  call (architectures.py:278-281), so torch normalizes every image by its
+  own per-channel spatial batch statistics — the stored running stats are
+  updated but never read.  ``TrainModeBN`` reproduces that (per-image
+  (H, W) statistics, biased variance) while keeping mean/var in
+  'batch_stats' so pretrained torch weights import unchanged
+  (models/torch_import.py).  Set ``bn_running_average=True`` for
+  classic inference-mode BN instead.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -39,7 +43,42 @@ def Conv(features, kernel_size, strides=(1, 1), name=None, use_bias=False):
         kernel_init=nn.initializers.he_normal(),
         name=name,
     )
-Norm = partial(nn.BatchNorm, use_running_average=True, momentum=0.9, epsilon=1e-5)
+
+
+class TrainModeBN(nn.Module):
+    """BatchNorm as the reference runs it (see module docstring): normalizes
+    each image with its own per-channel (H, W) statistics — torch train-mode
+    BN at batch size 1 — and never reads the stored running stats.  The
+    stored mean/var live in 'batch_stats' purely for torch-checkpoint
+    import compatibility (and for ``running=True`` inference mode)."""
+
+    running: bool = False
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if self.running:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            # Per-image spatial statistics; biased variance (torch's
+            # normalization denominator in train mode).
+            mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+            var = jnp.mean(jnp.square(x - mean), axis=(-3, -2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+def Norm(name=None, running: bool = False):
+    return TrainModeBN(running=running, name=name)
 
 
 def align_corners_matrix(n_in: int, n_out: int) -> jnp.ndarray:
@@ -70,18 +109,19 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    bn_running: bool = False
 
     @nn.compact
     def __call__(self, x):
         identity = x
         y = Conv(self.planes, (3, 3), (self.stride, self.stride), name="conv1")(x)
-        y = Norm(name="bn1")(y)
+        y = Norm(name="bn1", running=self.bn_running)(y)
         y = nn.relu(y)
         y = Conv(self.planes, (3, 3), name="conv2")(y)
-        y = Norm(name="bn2")(y)
+        y = Norm(name="bn2", running=self.bn_running)(y)
         if self.downsample:
             identity = Conv(self.planes, (1, 1), (self.stride, self.stride), name="downsample_conv")(x)
-            identity = Norm(name="downsample_bn")(identity)
+            identity = Norm(name="downsample_bn", running=self.bn_running)(identity)
         return nn.relu(y + identity)
 
 
@@ -90,22 +130,23 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     expansion: int = 4
+    bn_running: bool = False
 
     @nn.compact
     def __call__(self, x):
         identity = x
         y = Conv(self.planes, (1, 1), name="conv1")(x)
-        y = nn.relu(Norm(name="bn1")(y))
+        y = nn.relu(Norm(name="bn1", running=self.bn_running)(y))
         y = Conv(self.planes, (3, 3), (self.stride, self.stride), name="conv2")(y)
-        y = nn.relu(Norm(name="bn2")(y))
+        y = nn.relu(Norm(name="bn2", running=self.bn_running)(y))
         y = Conv(self.planes * self.expansion, (1, 1), name="conv3")(y)
-        y = Norm(name="bn3")(y)
+        y = Norm(name="bn3", running=self.bn_running)(y)
         if self.downsample:
             identity = Conv(
                 self.planes * self.expansion, (1, 1), (self.stride, self.stride),
                 name="downsample_conv",
             )(x)
-            identity = Norm(name="downsample_bn")(identity)
+            identity = Norm(name="downsample_bn", running=self.bn_running)(identity)
         return nn.relu(y + identity)
 
 
@@ -115,11 +156,12 @@ class ResNetEncoder(nn.Module):
 
     layers: Sequence[int] = (3, 4, 6, 3)  # ResNet50
     block: str = "bottleneck"
+    bn_running: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = Conv(64, (7, 7), (2, 2), name="conv1")(x)
-        x = nn.relu(Norm(name="bn1")(x))
+        x = nn.relu(Norm(name="bn1", running=self.bn_running)(x))
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         blk = Bottleneck if self.block == "bottleneck" else BasicBlock
         expansion = 4 if self.block == "bottleneck" else 1
@@ -130,7 +172,7 @@ class ResNetEncoder(nn.Module):
             for b in range(n_blocks):
                 s = stride if b == 0 else 1
                 need_ds = b == 0 and (s != 1 or in_planes != planes * expansion)
-                x = blk(planes, s, need_ds, name=f"layer{stage+1}_{b}")(x)
+                x = blk(planes, s, need_ds, bn_running=self.bn_running, name=f"layer{stage+1}_{b}")(x)
                 in_planes = planes * expansion
             outs.append(x)
         return outs
@@ -140,13 +182,14 @@ class UpProjection(nn.Module):
     """Bilinear resize then dual conv branches (reference resunet.py:42-67)."""
 
     out_features: int
+    bn_running: bool = False
 
     @nn.compact
     def __call__(self, x, size):
         x = bilinear_resize(x, size)
-        b1 = nn.relu(Norm(name="bn1")(Conv(self.out_features, (5, 5), name="conv1")(x)))
-        b1 = Norm(name="bn1_2")(Conv(self.out_features, (3, 3), name="conv1_2")(b1))
-        b2 = Norm(name="bn2")(Conv(self.out_features, (5, 5), name="conv2")(x))
+        b1 = nn.relu(Norm(name="bn1", running=self.bn_running)(Conv(self.out_features, (5, 5), name="conv1")(x)))
+        b1 = Norm(name="bn1_2", running=self.bn_running)(Conv(self.out_features, (3, 3), name="conv1_2")(b1))
+        b2 = Norm(name="bn2", running=self.bn_running)(Conv(self.out_features, (5, 5), name="conv2")(x))
         return nn.relu(b1 + b2)
 
 
@@ -160,22 +203,23 @@ class ResUNet(nn.Module):
 
     output_channel: int = 128
     depth: int = 50
+    bn_running_average: bool = False
 
     @nn.compact
     def __call__(self, x):
         if self.depth == 50:
-            enc = ResNetEncoder((3, 4, 6, 3), "bottleneck", name="encoder")
+            enc = ResNetEncoder((3, 4, 6, 3), "bottleneck", self.bn_running_average, name="encoder")
             top = 2048
         elif self.depth == 18:
-            enc = ResNetEncoder((2, 2, 2, 2), "basic", name="encoder")
+            enc = ResNetEncoder((2, 2, 2, 2), "basic", self.bn_running_average, name="encoder")
             top = 512
         else:
             raise ValueError(f"Unsupported ResNet depth: {self.depth}")
         b1, b2, b3, b4 = enc(x)
-        d = UpProjection(top // 2, name="up1")(b4, b3.shape[-3:-1]) + b3
-        d = UpProjection(top // 4, name="up2")(d, b2.shape[-3:-1]) + b2
-        d = UpProjection(top // 8, name="up3")(d, b1.shape[-3:-1]) + b1
-        d = UpProjection(top // 16, name="up4")(d, (b1.shape[-3] * 2, b1.shape[-2] * 2))
+        d = UpProjection(top // 2, self.bn_running_average, name="up1")(b4, b3.shape[-3:-1]) + b3
+        d = UpProjection(top // 4, self.bn_running_average, name="up2")(d, b2.shape[-3:-1]) + b2
+        d = UpProjection(top // 8, self.bn_running_average, name="up3")(d, b1.shape[-3:-1]) + b1
+        d = UpProjection(top // 16, self.bn_running_average, name="up4")(d, (b1.shape[-3] * 2, b1.shape[-2] * 2))
         return nn.Conv(self.output_channel, (1, 1), use_bias=True, name="conv0")(d)
 
 

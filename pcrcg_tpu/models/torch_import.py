@@ -19,7 +19,15 @@ import numpy as np
 
 
 def _strip_prefix(key: str) -> str:
-    for p in ("module.", "backbone.", "model.", "encoder.", "rgb_net."):
+    """Strip wrapper prefixes from real-world layouts: DataParallel
+    ('module.'), pri3d ('backbone.' — reference trainer.py:14-21 strips
+    k[9:]), MoCo v2 query encoder ('encoder_q.'; the momentum 'encoder_k.'
+    is deliberately NOT stripped so it is skipped), SimCLR/SwAV convnet
+    wrappers."""
+    for p in (
+        "module.", "backbone.", "model.", "encoder_q.", "convnet.",
+        "encoder.", "rgb_net.",
+    ):
         if key.startswith(p):
             key = key[len(p):]
     return key

@@ -45,18 +45,30 @@ def build_pyramid(
     budgets: Budgets,
     first_subsampling_dl: float,
     conv_radius: float,
+    with_overflow: bool = False,
 ) -> Pyramid:
     """points [2, N_0, 3], mask [2, N_0] -> Pyramid (all levels).
 
     Geometry is index bookkeeping, not part of the differentiable graph —
     the caller should treat the result as constants (we stop gradients).
+
+    With ``with_overflow`` also returns ``overflow`` [num_levels-1, 2] int32:
+    per strided level and cloud, #occupied voxels MINUS the level budget —
+    any positive entry means voxels were silently dropped (the reference's
+    C++ ``max_p`` cap drops the tail the same way, grid_subsampling.cpp:
+    109-211, but there the budgets were per-sample exact).  Debug/calibration
+    path; Trainer checks budgets via data.calibrate.occupancy_report instead.
     """
     points = jax.lax.stop_gradient(points)
     num_levels = budgets.num_levels
     chunk = budgets.query_chunk
 
     search = jax.vmap(radius_search, in_axes=(0, 0, 0, None, None, None))
-    subsample = jax.vmap(grid_subsample, in_axes=(0, 0, None, None))
+
+    def subsample_one(p, m, dl, n):
+        return grid_subsample(p, m, dl, n, return_count=True)
+
+    subsample = jax.vmap(subsample_one, in_axes=(0, 0, None, None))
 
     r = first_subsampling_dl * conv_radius
     lvl_points = [points]
@@ -64,6 +76,7 @@ def build_pyramid(
     neighbors = []
     pools = []
     upsamples = []
+    overflow = []
 
     for level in range(num_levels):
         cap = budgets.neighbors[level]
@@ -71,17 +84,22 @@ def build_pyramid(
         neighbors.append(search(pts, pts, msk, r, cap, chunk))
         if level + 1 < num_levels:
             dl = 2.0 * r / conv_radius
-            pool_p, pool_m = subsample(pts, msk, dl, budgets.points[level + 1])
+            n_next = budgets.points[level + 1]
+            pool_p, pool_m, n_voxels = subsample(pts, msk, dl, n_next)
+            overflow.append(n_voxels - n_next)
             pools.append(search(pool_p, pts, msk, r, cap, chunk))
             upsamples.append(search(pts, pool_p, pool_m, 2.0 * r, cap, chunk))
             lvl_points.append(pool_p)
             lvl_masks.append(pool_m)
         r *= 2.0
 
-    return Pyramid(
+    pyramid = Pyramid(
         points=tuple(lvl_points),
         masks=tuple(lvl_masks),
         neighbors=tuple(neighbors),
         pools=tuple(pools),
         upsamples=tuple(upsamples),
     )
+    if with_overflow:
+        return pyramid, jnp.stack(overflow)
+    return pyramid

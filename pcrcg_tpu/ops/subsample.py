@@ -27,10 +27,14 @@ def grid_subsample(
     mask: jnp.ndarray,
     dl: float,
     n_out: int,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return_count: bool = False,
+) -> tuple[jnp.ndarray, ...]:
     """points [N,3], mask [N] -> (pooled [n_out,3], pooled_mask [n_out]).
 
-    Pad outputs sit at PAD_COORD.
+    Pad outputs sit at PAD_COORD.  With ``return_count`` a third output is
+    the number of distinct occupied voxels — ``count > n_out`` means voxels
+    were silently dropped (budget overflow) and the level is corrupt; the
+    pyramid's debug path and Trainer's occupancy report check it.
     """
     big = jnp.float32(PAD_COORD)
     valid_pts = jnp.where(mask[:, None], points, big)
@@ -52,6 +56,7 @@ def grid_subsample(
         [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]
     )
     seg = jnp.cumsum(first.astype(jnp.int32)) - 1  # dense voxel rank
+    n_voxels = jnp.max(jnp.where(sorted_valid, seg, -1)) + 1
     seg = jnp.where(sorted_valid, seg, n_out)  # drop pads via OOB scatter
 
     sums = jnp.zeros((n_out, 3), points.dtype).at[seg].add(sorted_pts, mode="drop")
@@ -59,4 +64,6 @@ def grid_subsample(
     out_mask = counts > 0
     pooled = sums / jnp.maximum(counts, 1.0)[:, None]
     pooled = jnp.where(out_mask[:, None], pooled, big)
+    if return_count:
+        return pooled, out_mask, n_voxels
     return pooled, out_mask

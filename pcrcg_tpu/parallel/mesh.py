@@ -52,3 +52,22 @@ def replicate(tree, mesh: Mesh):
     """Replicate parameters / train state across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_images(images: Optional[dict], mesh: Mesh, batch_size: int):
+    """Shard the per-pair image dict on 'data'.  Arrays whose leading axis is
+    the pair batch (colors/depths/world2cam/valid_maps) shard; anything else
+    (e.g. a shared [4,4] intrinsics) replicates."""
+    if images is None:
+        return None
+
+    def put(x):
+        if x is None:
+            return None
+        if x.ndim >= 1 and x.shape[0] == batch_size:
+            spec = [None] * x.ndim
+            spec[0] = "data"
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return {k: put(v) for k, v in images.items()}

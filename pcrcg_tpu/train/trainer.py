@@ -29,7 +29,7 @@ from pcrcg_tpu.train.checkpoints import CheckpointManager
 from pcrcg_tpu.train.state import TrainState, create_train_state
 from pcrcg_tpu.train.step import eval_step, infer_step, train_step
 from pcrcg_tpu.utils.logging import Logger
-from pcrcg_tpu.utils.timer import AverageMeter, Timer
+from pcrcg_tpu.utils.timer import RunningStat, Stopwatch
 
 
 def _example_images(cfg: Config):
@@ -105,9 +105,30 @@ class Trainer:
             )
             for phase, ds in datasets.items()
         }
+        self._check_budgets(datasets)
         self.model, variables = init_model(cfg)
         steps = max(len(self.loaders.get("train", [])), 1)
         self.state: TrainState = create_train_state(cfg, variables, steps_per_epoch=steps)
+        # Multi-chip data parallelism (new capability — the reference is
+        # single-GPU batch=1, SURVEY.md §2.3): pairs shard over the mesh
+        # 'data' axis, the train state replicates, and XLA inserts the
+        # gradient all-reduce over ICI inside the jitted step.
+        self.mesh = None
+        if cfg.data_parallel > 1:
+            from pcrcg_tpu.parallel.mesh import make_mesh, replicate
+
+            n_dev = len(jax.devices())
+            if cfg.data_parallel > n_dev:
+                raise ValueError(
+                    f"data_parallel={cfg.data_parallel} but only {n_dev} devices"
+                )
+            if cfg.batch_size % cfg.data_parallel != 0:
+                raise ValueError(
+                    f"batch_size={cfg.batch_size} must be a multiple of "
+                    f"data_parallel={cfg.data_parallel}"
+                )
+            self.mesh = make_mesh(n_data=cfg.data_parallel)
+            self.state = replicate(self.state, self.mesh)
         self.ckpt = CheckpointManager(os.path.join(cfg.exp_dir, "checkpoints"))
         self.start_epoch = 0
         if cfg.pretrain:
@@ -115,6 +136,34 @@ class Trainer:
             self.start_epoch = int(meta["epoch"]) + 1
             self.logger.write(f"restored pretrain from {cfg.pretrain} @epoch {meta['epoch']}\n")
         self.key = jax.random.key(cfg.seed)
+
+    def _check_budgets(self, datasets, num_samples: int = 4):
+        """Fail loudly (in the log) when the configured static budgets drop
+        points: level-0 truncation is now random-uniform (data/pair.py) but
+        any truncation still loses signal, and a voxel-budget overflow at
+        level ℓ>0 silently corrupts every downstream level (ops/subsample.py
+        OOB-scatter drop).  Samples a few training clouds through the native
+        golden pyramid to check occupancy vs budgets."""
+        ds = datasets.get("train") or next(iter(datasets.values()), None)
+        if ds is None or len(ds) == 0:
+            return
+        try:
+            from pcrcg_tpu.data.calibrate import occupancy_report
+
+            report = occupancy_report(ds, self.cfg, num_samples=num_samples)
+        except Exception as e:  # native toolchain unavailable, odd dataset, ...
+            self.logger.write(f"budget occupancy check skipped: {e}\n")
+            return
+        self.logger.write(f"budget occupancy: {report}\n")
+        if any(report["truncating"]):
+            msg = (
+                "WARNING: static point budgets TRUNCATE at levels "
+                f"{[i for i, t in enumerate(report['truncating']) if t]} "
+                f"(max occupancy {report['max']} vs budgets {report['budget']}); "
+                "raise tpu.budgets.points or run scripts/calibrate_budgets.py"
+            )
+            self.logger.write(msg + "\n")
+            print(msg, flush=True)
 
     @staticmethod
     def _backup_source(exp_dir: str):
@@ -133,14 +182,19 @@ class Trainer:
         self.key, sub = jax.random.split(self.key)
         return sub
 
-    def run_epoch(self, epoch: int, phase: str) -> Dict[str, AverageMeter]:
+    def run_epoch(self, epoch: int, phase: str) -> Dict[str, RunningStat]:
         assert phase in ("train", "val", "test")
-        meters: Dict[str, AverageMeter] = defaultdict(AverageMeter)
+        meters: Dict[str, RunningStat] = defaultdict(RunningStat)
         loader = self.loaders[phase]
         num_iter = len(loader)
-        timer = Timer()
+        timer = Stopwatch()
         for c_iter, (batch, images) in enumerate(loader):
             timer.tic()
+            if self.mesh is not None:
+                from pcrcg_tpu.parallel.mesh import shard_images, shard_pair_batch
+
+                images = shard_images(images, self.mesh, batch.batch_size)
+                batch = shard_pair_batch(batch, self.mesh)
             if phase == "train":
                 self.state, stats = train_step(
                     self.model, self.cfg, self.state, batch, self._next_key(), images
@@ -153,17 +207,17 @@ class Trainer:
             timer.toc()
             for k, v in stats.items():
                 meters[k].update(v)
-            meters["pairs_per_sec"].update(batch.batch_size / max(timer.diff, 1e-9))
+            meters["pairs_per_sec"].update(batch.batch_size / max(timer.elapsed, 1e-9))
             if (c_iter + 1) % self.cfg.verbose_freq == 0 and self.cfg.verbose:
                 step = num_iter * epoch + c_iter
-                self.logger.scalars(phase, {k: m.avg for k, m in meters.items()}, step)
+                self.logger.scalars(phase, {k: m.mean for k, m in meters.items()}, step)
                 msg = f"{phase} Epoch: {epoch} [{c_iter+1:4d}/{num_iter}] " + " ".join(
-                    f"{k}: {m.avg:.3f}" for k, m in meters.items()
+                    f"{k}: {m.mean:.3f}" for k, m in meters.items()
                 )
                 self.logger.write(msg + "\n")
                 print(msg, flush=True)
         summary = f"{phase} Epoch {epoch}: " + " ".join(
-            f"{k}: {m.avg:.3f}" for k, m in meters.items()
+            f"{k}: {m.mean:.3f}" for k, m in meters.items()
         )
         self.logger.write(summary + "\n")
         print(summary, flush=True)
@@ -174,7 +228,7 @@ class Trainer:
             self.run_epoch(epoch, "train")
             meters = self.run_epoch(epoch, "val")
             self.ckpt.maybe_save_best(
-                self.state, epoch, meters["circle_loss"].avg, meters["recall"].avg
+                self.state, epoch, meters["circle_loss"].mean, meters["recall"].mean
             )
             if (epoch + 1) % self.cfg.snapshot_freq == 0:
                 self.ckpt.save(self.state, epoch)

@@ -86,3 +86,27 @@ def test_upsample_neighbors_point_into_next_level(rng):
             real = up[c][m[c]]
             real = real[real < n_next]
             assert m_next[c][real].all()
+
+
+def test_pyramid_overflow_reporting(rng):
+    """with_overflow surfaces per-level voxel-budget overflow: generous
+    budgets report none; a starved level-1 budget reports a positive count
+    (the silent-corruption case VERDICT r1 flagged)."""
+    cfg = tiny_test_config(first_subsampling_dl=0.1)
+    pts, mask = make_pair(rng)
+    pyr, overflow = build_pyramid(
+        pts, mask, cfg.budgets, cfg.first_subsampling_dl, cfg.conv_radius,
+        with_overflow=True,
+    )
+    overflow = np.asarray(overflow)
+    assert overflow.shape == (cfg.budgets.num_levels - 1, 2)
+    assert (overflow <= 0).all()
+
+    from pcrcg_tpu.config import Budgets
+
+    starved = Budgets(points=(256, 24, 24, 24), neighbors=(16,) * 4, corr_k=8, query_chunk=64)
+    _, overflow2 = build_pyramid(
+        pts, mask, starved, cfg.first_subsampling_dl, cfg.conv_radius,
+        with_overflow=True,
+    )
+    assert (np.asarray(overflow2)[0] > 0).all()

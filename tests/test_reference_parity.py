@@ -225,7 +225,12 @@ def test_gcn_cross_attention_matches_reference(rng):
 def test_resunet_matches_reference_via_importer(rng):
     """Reference Res18UNet (random torch init) -> our torch_import -> flax
     ResUNet must produce the same feature map; validates BOTH the
-    architecture transcription and the checkpoint importer."""
+    architecture transcription and the checkpoint importer.
+
+    Two modes: (a) the DEFAULT compares against the torch module in TRAIN
+    mode — how the reference actually runs backbone2d (lib/trainer.py:49-70
+    never calls .eval(); BN normalizes each image by its own batch stats);
+    (b) bn_running_average=True compares against torch .eval()."""
     if REF not in sys.path:
         sys.path.insert(0, REF)
     from models.resunet import Res18UNet
@@ -234,21 +239,32 @@ def test_resunet_matches_reference_via_importer(rng):
     from pcrcg_tpu.models.resunet import ResUNet
     from pcrcg_tpu.models.torch_import import import_torch_resunet
 
-    ref = Res18UNet(output_channel=8, pretrained=False).eval()
+    ref = Res18UNet(output_channel=8, pretrained=False)
     x = rng.uniform(size=(1, 3, 48, 64)).astype(np.float32)
-    with torch.no_grad():
-        want = ref(torch.from_numpy(x)).numpy()[0].transpose(1, 2, 0)  # [24,32,8]
-
-    ours = ResUNet(output_channel=8, depth=18)
-    variables = ours.init(jax.random.key(0), jnp.zeros((1, 48, 64, 3)))
+    # Give the running stats non-default values so eval mode is a real test.
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
     state = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-    merged, report = import_torch_resunet(state, variables)
-    real_skips = [k for k in report["skipped_keys"] if "num_batches_tracked" not in k]
-    assert not real_skips, real_skips
-    got = np.asarray(
-        ours.apply(
-            jax.tree_util.tree_map(jnp.asarray, merged),
-            jnp.asarray(x.transpose(0, 2, 3, 1)),
-        )
-    )[0]
-    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    with torch.no_grad():
+        want_train = ref.train()(torch.from_numpy(x)).numpy()[0].transpose(1, 2, 0)
+    # (train-mode forward updates torch running stats; reload the snapshot)
+    ref.load_state_dict({k: torch.from_numpy(np.asarray(v)) for k, v in state.items()})
+    with torch.no_grad():
+        want_eval = ref.eval()(torch.from_numpy(x)).numpy()[0].transpose(1, 2, 0)
+
+    for running, want in ((False, want_train), (True, want_eval)):
+        ours = ResUNet(output_channel=8, depth=18, bn_running_average=running)
+        variables = ours.init(jax.random.key(0), jnp.zeros((1, 48, 64, 3)))
+        merged, report = import_torch_resunet(state, variables)
+        real_skips = [k for k in report["skipped_keys"] if "num_batches_tracked" not in k]
+        assert not real_skips, real_skips
+        got = np.asarray(
+            ours.apply(
+                jax.tree_util.tree_map(jnp.asarray, merged),
+                jnp.asarray(x.transpose(0, 2, 3, 1)),
+            )
+        )[0]
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)

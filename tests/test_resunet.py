@@ -104,3 +104,79 @@ def test_image_lift_priority_and_detach(rng):
     )
     total = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads))
     assert total == 0.0
+
+
+def test_torch_import_pri3d_layout(small_resunet, tmp_path):
+    """pri3d checkpoints nest under state['model'] with 'backbone.'-prefixed
+    encoder keys plus non-backbone heads that must be filtered (reference
+    lib/trainer.py:114-127 strips k[9:] and shape-filters)."""
+    torch = pytest.importorskip("torch")
+    from pcrcg_tpu.models.torch_import import load_backbone2d
+
+    model, variables = small_resunet
+    rng = np.random.default_rng(1)
+    conv1 = rng.normal(size=(64, 3, 7, 7)).astype(np.float32)
+    ckpt = {
+        "model": {
+            "backbone.conv1.weight": torch.from_numpy(conv1),
+            "backbone.bn1.weight": torch.full((64,), 3.0),
+            "backbone.bn1.running_mean": torch.full((64,), 0.25),
+            # heads that must be skipped, not crash
+            "depth_head.conv.weight": torch.zeros(1, 64, 3, 3),
+            "sem_head.weight": torch.zeros(20, 64),
+        },
+        "epoch": 3,
+    }
+    path = tmp_path / "pri3d.pth"
+    torch.save(ckpt, path)
+    sub = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    merged, report = load_backbone2d(str(path), sub)
+    np.testing.assert_allclose(
+        np.asarray(merged["params"]["encoder"]["conv1"]["kernel"]),
+        conv1.transpose(2, 3, 1, 0),
+    )
+    np.testing.assert_allclose(merged["params"]["encoder"]["bn1"]["scale"], 3.0)
+    np.testing.assert_allclose(merged["batch_stats"]["encoder"]["bn1"]["mean"], 0.25)
+    assert report["loaded"] == 3
+    assert any("depth_head" in k for k in report["skipped_keys"])
+
+
+def test_torch_import_moco_layout(small_resunet):
+    """MoCo v2 raw layout: 'module.encoder_q.' query-encoder keys load; the
+    momentum encoder_k and the MLP fc head are skipped."""
+    from pcrcg_tpu.models.torch_import import import_torch_resunet
+
+    model, variables = small_resunet
+    rng = np.random.default_rng(2)
+    conv1 = rng.normal(size=(64, 3, 7, 7)).astype(np.float32)
+    conv1_k = rng.normal(size=(64, 3, 7, 7)).astype(np.float32)
+    state = {
+        "module.encoder_q.conv1.weight": conv1,
+        "module.encoder_q.bn1.weight": np.full(64, 1.5, np.float32),
+        "module.encoder_q.fc.0.weight": rng.normal(size=(2048, 512)).astype(np.float32),
+        "module.encoder_k.conv1.weight": conv1_k,  # momentum encoder: skip
+        "queue": np.zeros((128, 65536), np.float32),
+        "queue_ptr": np.zeros(1, np.int64),
+    }
+    merged, report = import_torch_resunet(state, variables)
+    np.testing.assert_allclose(
+        np.asarray(merged["params"]["encoder"]["conv1"]["kernel"]),
+        conv1.transpose(2, 3, 1, 0),  # q encoder, NOT k
+    )
+    assert report["loaded"] == 2
+    assert any("encoder_k" in k for k in report["skipped_keys"])
+
+
+def test_torch_import_shape_mismatch_filtered(small_resunet):
+    """Shape-mismatched tensors are skipped like the reference's
+    load_state_with_same_shape, never merged or crashing."""
+    from pcrcg_tpu.models.torch_import import import_torch_resunet
+
+    model, variables = small_resunet
+    before = np.asarray(variables["params"]["encoder"]["conv1"]["kernel"]).copy()
+    state = {"conv1.weight": np.zeros((64, 4, 7, 7), np.float32)}  # 4-ch: wrong
+    merged, report = import_torch_resunet(state, variables)
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["encoder"]["conv1"]["kernel"]), before
+    )
+    assert report["loaded"] == 0 and report["skipped"] == 1

@@ -58,3 +58,22 @@ def test_pads_do_not_contribute(rng):
     assert len(a) == len(b)
     for g in a:
         assert np.min(np.linalg.norm(b - g, axis=1)) < 1e-6
+
+
+def test_overflow_count_reported(rng):
+    """return_count exposes the number of distinct occupied voxels; a count
+    above n_out means the OOB-scatter silently dropped voxels."""
+    pts = rng.uniform(-1, 1, size=(64, 3)).astype(np.float32)
+    mask = np.ones(64, bool)
+    # tiny dl -> every point its own voxel; n_out=16 < 64 voxels -> overflow
+    pooled, pmask, count = grid_subsample(
+        jnp.asarray(pts), jnp.asarray(mask), 1e-4, 16, return_count=True
+    )
+    assert int(count) == 64
+    assert int(count) > 16  # overflow detectable by the caller
+    # generous budget: count == #voxels == #valid outputs, no overflow
+    pooled, pmask, count = grid_subsample(
+        jnp.asarray(pts), jnp.asarray(mask), 0.5, 128, return_count=True
+    )
+    assert int(count) == int(np.asarray(pmask).sum())
+    assert int(count) <= 128

@@ -56,3 +56,38 @@ def test_trainer_two_epochs_and_resume(tmp_path):
     assert trainer2.start_epoch >= 1
     meters = trainer2.eval()
     assert np.isfinite(meters["total"].avg)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    __import__("jax").device_count() < 8, reason="needs 8 virtual devices"
+)
+def test_trainer_data_parallel_mesh(tmp_path):
+    """data_parallel=8 through the PRODUCT surface (Trainer, not raw
+    step fns): mesh built, state replicated, batches sharded, loss finite."""
+    cfg = tiny_test_config(
+        exp_dir=str(tmp_path / "exp_dp"),
+        max_epoch=1,
+        verbose_freq=1,
+        num_workers=1,
+        batch_size=8,
+        data_parallel=8,
+    )
+    datasets = {"train": TinyDataset(8), "val": TinyDataset(8, seed=50)}
+    trainer = Trainer(cfg, datasets)
+    assert trainer.mesh is not None and trainer.mesh.shape["data"] == 8
+    trainer.train()
+    assert int(trainer.state.step) == 1  # 8 pairs = one sharded batch
+
+    meters = trainer.eval()
+    assert np.isfinite(meters["total"].avg)
+
+
+def test_trainer_rejects_bad_data_parallel(tmp_path):
+    cfg = tiny_test_config(
+        exp_dir=str(tmp_path / "exp_bad"),
+        batch_size=3,
+        data_parallel=2,
+    )
+    with pytest.raises(ValueError, match="multiple"):
+        Trainer(cfg, {"train": TinyDataset(4)})
