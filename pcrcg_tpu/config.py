@@ -73,6 +73,16 @@ class Budgets:
     corr_k: int = 16
     # Query chunk for the tiled radius search (memory/latency tradeoff).
     query_chunk: int = 1024
+    # Neighbor-search pruning: 'tiled' prunes support candidates to the
+    # m_tiles Z-order tiles nearest each query chunk (ops/tiled_search.py);
+    # 'dense' always scans every support.  'tiled' falls back to dense
+    # whenever the cloud is too small to prune.
+    search_impl: str = "tiled"
+    search_tile: int = 128
+    search_m_tiles: int = 24
+    # Exact per-row top-k inside the tiled search (affordable on the pruned
+    # ~3k-candidate sets) instead of approx_min_k at recall 0.95.
+    search_exact: bool = False
 
     @property
     def num_levels(self) -> int:
@@ -177,7 +187,10 @@ class Config:
     # multiple of it).
     data_parallel: int = 1
     compute_dtype: str = "float32"
-    kpconv_pallas: bool = False  # fused Pallas influence+reduce on TPU (parity with the XLA path; no measured win yet)
+    # KPConv compute path: 'auto' (fused Pallas kernel on TPU, XLA elsewhere),
+    # 'xla', 'reduce' (Pallas influence+reduce), 'fused' (Pallas
+    # influence+reduce+matmul, ops/kpconv_fused.py).
+    kpconv_impl: str = "auto"
     seed: int = 42
 
     def __post_init__(self):
@@ -242,11 +255,16 @@ def config_from_dict(flat: Dict[str, Any]) -> Config:
         if key == "nets":
             value = tuple(value)
         elif key == "budgets" and isinstance(value, dict):
+            defaults = Budgets()
             value = Budgets(
-                points=tuple(value.get("points", Budgets().points)),
-                neighbors=tuple(value.get("neighbors", Budgets().neighbors)),
-                corr_k=value.get("corr_k", Budgets().corr_k),
-                query_chunk=value.get("query_chunk", Budgets().query_chunk),
+                points=tuple(value.get("points", defaults.points)),
+                neighbors=tuple(value.get("neighbors", defaults.neighbors)),
+                corr_k=value.get("corr_k", defaults.corr_k),
+                query_chunk=value.get("query_chunk", defaults.query_chunk),
+                search_impl=value.get("search_impl", defaults.search_impl),
+                search_tile=value.get("search_tile", defaults.search_tile),
+                search_m_tiles=value.get("search_m_tiles", defaults.search_m_tiles),
+                search_exact=value.get("search_exact", defaults.search_exact),
             )
         if key not in _FIELD_NAMES:
             raise KeyError(f"Unknown config key: {key!r}")

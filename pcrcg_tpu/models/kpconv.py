@@ -28,6 +28,13 @@ from flax import linen as nn
 from pcrcg_tpu.geom.kernel_points import layer_kernel_points
 from pcrcg_tpu.ops.masked import PAD_COORD, pad_gather
 
+def resolve_kpconv_impl(impl: str) -> str:
+    """'auto' -> the fused Pallas kernel on TPU, plain XLA elsewhere."""
+    if impl == "auto":
+        return "fused" if jax.default_backend() == "tpu" else "xla"
+    return impl
+
+
 def _kaiming_u5_torch3d(key, shape, dtype=jnp.float32):
     """torch kaiming_uniform_(a=√5) on a [K,Cin,Cout] tensor: torch computes
     fan_in = size(1)·prod(size(2:)) = Cin·Cout, bound = √(1/fan_in)."""
@@ -48,7 +55,8 @@ def kpconv(
     compute_dtype=jnp.float32,
     neighbors_rel=None,
     ones_features: bool = False,
-    use_pallas: bool = False,
+    impl: str = "xla",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """q_pts [Nq,3], s_pts [Ns,3], neighb_inds [Nq,H] (pad=Ns), x [Ns,Cin],
     kernel_points [K,3], weights [K,Cin,Cout] -> [Nq,Cout].
@@ -56,7 +64,14 @@ def kpconv(
     ``neighbors_rel`` [Nq,H,3] (gathered neighbor coords minus query) can be
     precomputed once per pyramid level and shared across every block at that
     level — TPU gathers are latency-bound (~3.5 ns/row measured), so
-    repeating the coordinate gather in all 17 blocks costs real time."""
+    repeating the coordinate gather in all 17 blocks costs real time.
+
+    ``impl`` selects the compute path:
+      * 'xla'    — K-unrolled VPU reduce + one flattened matmul;
+      * 'reduce' — Pallas influence+reduce kernel, matmul in XLA;
+      * 'fused'  — Pallas influence+reduce+matmul (one HBM read of the
+                   gathered features; ops/kpconv_fused.py).
+    All three preserve the reference semantics exactly."""
     if neighbors_rel is None:
         # Gather neighbor coordinates; shadow index -> PAD_COORD (far away).
         neighbors = pad_gather(s_pts, neighb_inds, fill_value=PAD_COORD)
@@ -71,19 +86,38 @@ def kpconv(
     else:
         neighb_x0 = None
 
+    on_tpu = jax.default_backend() == "tpu" or interpret
+
+    if impl == "fused" and on_tpu:
+        from pcrcg_tpu.ops.kpconv_fused import kpconv_fused_ad
+
+        if neighb_x0 is not None:
+            nx = neighb_x0  # C=1; the kernel pads channels to sublanes
+        else:
+            nx = pad_gather(x, neighb_inds, fill_value=0.0).astype(compute_dtype)
+        w = weights
+        nx_t = jnp.transpose(nx, (1, 2, 0))  # [H,C,N]
+        out, neighbor_num = kpconv_fused_ad(
+            jax.lax.stop_gradient(neighbors), nx_t, kernel_points,
+            w.astype(compute_dtype), float(kp_extent), influence, aggregation,
+            interpret, neighb_x0 is None,  # ones features: constants, no dnx
+        )
+        neighbor_num = jax.lax.stop_gradient(neighbor_num)
+        return out / neighbor_num[:, None].astype(out.dtype)
+
     if (
-        use_pallas
+        impl == "reduce"
         and aggregation == "sum"
         and influence in ("linear", "gaussian", "constant")
         and x.shape[-1] >= 8
-        and jax.default_backend() == "tpu"
+        and on_tpu
     ):
         from pcrcg_tpu.ops.kpconv_pallas import kpconv_weighted_reduce
 
         nx = neighb_x0 if neighb_x0 is not None else pad_gather(x, neighb_inds, 0.0)
         weighted, neighbor_num = kpconv_weighted_reduce(
             neighbors, nx, kernel_points, kp_extent, influence,
-            out_dtype=compute_dtype,
+            out_dtype=compute_dtype, interpret=interpret,
         )  # weighted [K,Nq,C]
         out = jnp.einsum(
             "knc,kcd->nd",
@@ -176,7 +210,7 @@ class KPConv(nn.Module):
     seed: int = 0
     compute_dtype: object = jnp.float32
     ones_features: bool = False
-    use_pallas: bool = False
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb_inds, x, neighbors_rel=None):
@@ -199,7 +233,7 @@ class KPConv(nn.Module):
                 q, s, n, f, kernel_points, weights,
                 self.kp_extent, self.influence, self.aggregation,
                 compute_dtype=self.compute_dtype, neighbors_rel=rel,
-                ones_features=self.ones_features, use_pallas=self.use_pallas,
+                ones_features=self.ones_features, impl=self.impl,
             )
 
         if neighbors_rel is not None:

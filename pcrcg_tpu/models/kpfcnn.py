@@ -31,6 +31,7 @@ from pcrcg_tpu.models.blocks import (
     make_dense,
 )
 from pcrcg_tpu.models.gcn import GCN
+from pcrcg_tpu.models.kpconv import resolve_kpconv_impl
 from pcrcg_tpu.ops.masked import masked_softmax
 from pcrcg_tpu.ops.pyramid import Pyramid
 
@@ -144,7 +145,7 @@ class KPFCNN(nn.Module):
             influence=cfg.KP_influence,
             aggregation=cfg.aggregation_mode,
             fixed=cfg.fixed_kernel_points,
-            use_pallas=cfg.kpconv_pallas,
+            impl=resolve_kpconv_impl(cfg.kpconv_impl),
         )
         extent_ratio = cfg.KP_extent / cfg.conv_radius
 

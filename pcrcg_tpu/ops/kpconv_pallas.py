@@ -24,10 +24,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _tile_rows(c: int) -> int:
     # VMEM budget: nx tile [T,H,C] f32 (+double buffering + Mosaic vector
-    # stack) well under the 16 MB scoped limit.
+    # stack) well under the 16 MB scoped limit.  Sub-lane-width channel
+    # counts pad every block to 128 lanes, so their tiles must shrink too
+    # (measured: T=128 at C=1 lands 188 KB over the 16 MB scoped limit).
     if c >= 512:
         return 32
-    if c >= 256:
+    if c >= 256 or c < 8:
         return 64
     return 128
 

@@ -65,6 +65,82 @@ def test_kpconv_all_shadow_row_is_finite(rng):
     np.testing.assert_allclose(got[0], 0.0, atol=1e-6)
 
 
+def test_fused_kernel_matches_oracle(rng):
+    """The fully-fused Pallas kernel (interpret mode on CPU) must match the
+    XLA path for every influence/aggregation combo, including a neighbor
+    count that is not sublane-aligned."""
+    nq, ns, h, k, cin, cout = 37, 29, 11, 15, 12, 21
+    q = rng.normal(size=(nq, 3)).astype(np.float32)
+    s = rng.normal(size=(ns, 3)).astype(np.float32)
+    neighb = rng.integers(0, ns + 1, size=(nq, h)).astype(np.int32)
+    x = rng.normal(size=(ns, cin)).astype(np.float32)
+    kp = rng.normal(scale=0.5, size=(k, 3)).astype(np.float32)
+    w = rng.normal(size=(k, cin, cout)).astype(np.float32)
+
+    for influence in ("linear", "gaussian", "constant"):
+        for mode in ("sum", "closest"):
+            want = oracle_kpconv(q, s, neighb, x, kp, w, 1.2, influence, mode)
+            got = kpconv(
+                jnp.asarray(q), jnp.asarray(s), jnp.asarray(neighb), jnp.asarray(x),
+                jnp.asarray(kp), jnp.asarray(w), 1.2, influence, mode,
+                impl="fused", interpret=True,
+            )
+            np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_kernel_ones_features(rng):
+    """The ones-column fast path through the fused kernel (C=1 padded to 8
+    sublanes) must match the XLA path."""
+    nq, ns, h, k = 33, 29, 10, 15
+    q = rng.normal(size=(nq, 3)).astype(np.float32)
+    s = rng.normal(size=(ns, 3)).astype(np.float32)
+    neighb = rng.integers(0, ns + 1, size=(nq, h)).astype(np.int32)
+    x = np.ones((ns, 1), np.float32)
+    kp = rng.normal(scale=0.5, size=(k, 3)).astype(np.float32)
+    w = rng.normal(size=(k, 1, 16)).astype(np.float32)
+    want = np.asarray(kpconv(
+        jnp.asarray(q), jnp.asarray(s), jnp.asarray(neighb), jnp.asarray(x),
+        jnp.asarray(kp), jnp.asarray(w), 1.2, ones_features=True,
+    ))
+    got = np.asarray(kpconv(
+        jnp.asarray(q), jnp.asarray(s), jnp.asarray(neighb), jnp.asarray(x),
+        jnp.asarray(kp), jnp.asarray(w), 1.2, ones_features=True,
+        impl="fused", interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_kernel_gradients_match_xla(rng):
+    """Custom-VJP backward (Pallas) vs jax autodiff of the XLA path: grads
+    w.r.t. features and conv weights must agree."""
+    import jax
+
+    nq, ns, h, k, cin, cout = 24, 19, 9, 15, 10, 13
+    q = rng.normal(size=(nq, 3)).astype(np.float32)
+    s = rng.normal(size=(ns, 3)).astype(np.float32)
+    neighb = rng.integers(0, ns + 1, size=(nq, h)).astype(np.int32)
+    x = rng.normal(size=(ns, cin)).astype(np.float32)
+    kp = rng.normal(scale=0.5, size=(k, 3)).astype(np.float32)
+    w = rng.normal(size=(k, cin, cout)).astype(np.float32)
+    cot = rng.normal(size=(nq, cout)).astype(np.float32)
+
+    def loss(impl, interpret):
+        def f(xx, ww):
+            out = kpconv(
+                jnp.asarray(q), jnp.asarray(s), jnp.asarray(neighb), xx,
+                jnp.asarray(kp), ww, 1.2, "linear", "sum",
+                impl=impl, interpret=interpret,
+            )
+            return jnp.sum(out * jnp.asarray(cot))
+
+        return jax.grad(f, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(w))
+
+    dx_ref, dw_ref = loss("xla", False)
+    dx_got, dw_got = loss("fused", True)
+    np.testing.assert_allclose(np.asarray(dx_got), np.asarray(dx_ref), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw_got), np.asarray(dw_ref), rtol=1e-3, atol=1e-4)
+
+
 def test_pallas_weighted_reduce_matches_jnp(rng):
     """The fused Pallas kernel (interpret mode on CPU) must reproduce the
     jnp influence+reduce path bit-for-bit-ish."""
