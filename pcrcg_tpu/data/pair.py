@@ -85,6 +85,25 @@ def pad_cloud(
     return out, mask
 
 
+def _np_morton_order(points: np.ndarray) -> np.ndarray:
+    """Z-order sort permutation (1024³ grid over the bounding box) — host
+    twin of ops.subsample.morton_code.  Spatially local row order makes the
+    tile-pruned neighbor search (ops/tiled_search.py) effective at level 0."""
+    vmin = points.min(0)
+    extent = max(float((points.max(0) - vmin).max()), 1e-6)
+    ijk = np.clip(((points - vmin) / extent * 1023.0).astype(np.int64), 0, 1023)
+
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    code = spread(ijk[:, 0]) | (spread(ijk[:, 1]) << 1) | (spread(ijk[:, 2]) << 2)
+    return np.argsort(code, kind="stable")
+
+
 def make_pair_batch(
     samples: list[dict],
     budget: int,
@@ -120,6 +139,16 @@ def make_pair_batch(
             raw[i, 1], _ = pad_cloud(
                 np.asarray(s["raw_tgt_pcd"], np.float32), budget, select=sel_tgt
             )
+        # Z-order each cloud's real rows (one permutation, applied to the
+        # raw clouds too so rows stay aligned).  Order is semantically
+        # neutral downstream; it exists for search-tile locality.
+        for c in range(2):
+            n = int(msk[i, c].sum())
+            if n > 1:
+                order = _np_morton_order(pts[i, c, :n])
+                pts[i, c, :n] = pts[i, c, :n][order]
+                if has_raw:
+                    raw[i, c, :n] = raw[i, c, :n][order]
         rot[i] = np.asarray(s["rot"], np.float32).reshape(3, 3)
         trans[i] = np.asarray(s["trans"], np.float32).reshape(3)
     if features is None:

@@ -31,6 +31,7 @@ from pcrcg_tpu.geom import se3
 from pcrcg_tpu.ops.masked import masked_logsumexp, pad_gather
 from pcrcg_tpu.ops.matching import nearest_feature_neighbor
 from pcrcg_tpu.ops.neighbors import min_dist_sq, radius_search
+from pcrcg_tpu.ops.tiled_search import min_dist_sq_tiled, radius_search_tiled
 
 _HIGH = jax.lax.Precision.HIGHEST
 
@@ -137,10 +138,21 @@ def metric_loss(
     stats: Dict[str, jnp.ndarray] = {}
 
     # --- overlap BCE: membership = has a counterpart within overlap_radius.
+    # Tile-pruned geometric searches (ops/tiled_search.py): the warped src
+    # keeps its Z-order locality (rigid transforms preserve it), and the
+    # min-distance is only ever compared against a small radius, which the
+    # pruned minimum preserves exactly.
     r2 = jnp.float32(cfg.overlap_radius) ** 2
-    chunk = cfg.budgets.query_chunk
-    src_over = (min_dist_sq(src_warp, inputs.tgt_pcd, inputs.tgt_mask, chunk) <= r2) & inputs.src_mask
-    tgt_over = (min_dist_sq(inputs.tgt_pcd, src_warp, inputs.src_mask, chunk) <= r2) & inputs.tgt_mask
+    b = cfg.budgets
+    chunk = b.query_chunk
+    if b.search_impl == "tiled":
+        def _min_d2(q, s, m):
+            return min_dist_sq_tiled(q, s, m, b.search_tile, b.search_m_tiles, chunk)
+    else:
+        def _min_d2(q, s, m):
+            return min_dist_sq(q, s, m, chunk)
+    src_over = (_min_d2(src_warp, inputs.tgt_pcd, inputs.tgt_mask) <= r2) & inputs.src_mask
+    tgt_over = (_min_d2(inputs.tgt_pcd, src_warp, inputs.src_mask) <= r2) & inputs.tgt_mask
     gt_labels = jnp.concatenate([src_over, tgt_over]).astype(jnp.float32)
     valid = jnp.concatenate([inputs.src_mask, inputs.tgt_mask])
     overlap_loss, overlap_prec, overlap_rec = weighted_bce(
@@ -170,7 +182,13 @@ def metric_loss(
     # via on-device radius search at overlap_radius (the dataset's GT-corr
     # convention), re-filtered at pos_radius − 0.001 (loss.py:228-233).
     k = cfg.budgets.corr_k
-    cand = radius_search(src_warp, inputs.tgt_pcd, inputs.tgt_mask, cfg.overlap_radius, k, chunk)
+    if b.search_impl == "tiled":
+        cand = radius_search_tiled(
+            src_warp, inputs.tgt_pcd, inputs.tgt_mask, cfg.overlap_radius, k,
+            b.search_tile, b.search_m_tiles, chunk, exact=b.search_exact,
+        )
+    else:
+        cand = radius_search(src_warp, inputs.tgt_pcd, inputs.tgt_mask, cfg.overlap_radius, k, chunk)
     cand_valid = (cand < m) & inputs.src_mask[:, None]
     cand_tgt = jnp.minimum(cand, m - 1)
     cand_dist = jnp.linalg.norm(

@@ -40,7 +40,9 @@ def _sq_dists(q: jnp.ndarray, sup_t: jnp.ndarray, sup_sq: jnp.ndarray) -> jnp.nd
     )
 
 
-def _smallest_k(d2: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _smallest_k(
+    d2: jnp.ndarray, k: int, exact: bool = False
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """k smallest entries per row, ascending: (values, indices).
 
     Uses ``lax.approx_min_k`` — the TPU-native bucketed top-k — instead of
@@ -50,9 +52,13 @@ def _smallest_k(d2: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     was the dominant pyramid cost — ~0.95 s/run, traced); ~0.95
     per-neighbor recall is on par with the reference's own calibrated
     neighbor truncation (datasets/dataloader.py:402-434).  On CPU this
-    lowers to an exact top-k.
+    lowers to an exact top-k.  ``exact=True`` forces ``lax.top_k`` — with
+    tile-pruned candidate sets (~3k wide) the exact sort is affordable.
     """
-    neg, idx = jax.lax.approx_max_k(-d2, k, recall_target=0.95)
+    if exact:
+        neg, idx = jax.lax.top_k(-d2, k)
+    else:
+        neg, idx = jax.lax.approx_max_k(-d2, k, recall_target=0.95)
     return -neg, idx
 
 

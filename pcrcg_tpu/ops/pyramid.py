@@ -18,7 +18,8 @@ from flax.struct import dataclass as pytree
 
 from pcrcg_tpu.config import Budgets
 from pcrcg_tpu.ops.neighbors import radius_search
-from pcrcg_tpu.ops.subsample import grid_subsample
+from pcrcg_tpu.ops.subsample import grid_subsample, morton_sort
+from pcrcg_tpu.ops.tiled_search import radius_search_tiled
 
 
 @pytree
@@ -29,7 +30,8 @@ class Pyramid:
     masks[ℓ]:     [2, N_ℓ]      bool
     neighbors[ℓ]: [2, N_ℓ, H_ℓ] conv neighbors within level ℓ (pad = N_ℓ)
     pools[ℓ]:     [2, N_{ℓ+1}, H_ℓ] neighbors of level-ℓ+1 queries in level ℓ
-    upsamples[ℓ]: [2, N_ℓ, H_ℓ] neighbors of level-ℓ queries in level ℓ+1
+    upsamples[ℓ]: [2, N_ℓ, 1] nearest level-ℓ+1 point per level-ℓ query
+                  (nearest-upsample reads only the closest neighbor)
     """
 
     points: Tuple[jnp.ndarray, ...]
@@ -63,10 +65,24 @@ def build_pyramid(
     num_levels = budgets.num_levels
     chunk = budgets.query_chunk
 
-    search = jax.vmap(radius_search, in_axes=(0, 0, 0, None, None, None))
+    if budgets.search_impl == "tiled":
+        def search_one(q, s, m, r, cap, ch):
+            return radius_search_tiled(
+                q, s, m, r, cap,
+                tile=budgets.search_tile, m_tiles=budgets.search_m_tiles,
+                query_chunk=ch, exact=budgets.search_exact,
+            )
+    else:
+        search_one = radius_search
+    search = jax.vmap(search_one, in_axes=(0, 0, 0, None, None, None))
 
     def subsample_one(p, m, dl, n):
-        return grid_subsample(p, m, dl, n, return_count=True)
+        pooled, pooled_mask, count = grid_subsample(p, m, dl, n, return_count=True)
+        if budgets.search_impl == "tiled":
+            # Z-order the pooled level so tile pruning sees compact tiles
+            # (the subsample emits voxel-row order — long slabs).
+            pooled, pooled_mask, _ = morton_sort(pooled, pooled_mask)
+        return pooled, pooled_mask, count
 
     subsample = jax.vmap(subsample_one, in_axes=(0, 0, None, None))
 
@@ -88,7 +104,11 @@ def build_pyramid(
             pool_p, pool_m, n_voxels = subsample(pts, msk, dl, n_next)
             overflow.append(n_voxels - n_next)
             pools.append(search(pool_p, pts, msk, r, cap, chunk))
-            upsamples.append(search(pts, pool_p, pool_m, 2.0 * r, cap, chunk))
+            # Upsample lists are consumed ONLY by closest_pool / nearest
+            # upsampling, which reads the single closest coarse point
+            # (reference models/blocks.py:71-83 keeps just inds[:,0]); a k=1
+            # search skips the per-row top-H selection entirely.
+            upsamples.append(search(pts, pool_p, pool_m, 2.0 * r, 1, chunk))
             lvl_points.append(pool_p)
             lvl_masks.append(pool_m)
         r *= 2.0

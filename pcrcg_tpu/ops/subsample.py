@@ -22,6 +22,44 @@ from pcrcg_tpu.ops.masked import PAD_COORD
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
 
+def _spread_bits_10(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of v so they occupy every 3rd bit (classic
+    Morton bit-interleave helper)."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton_code(points: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Z-order (Morton) code per point on a 1024³ grid over the valid
+    bounding box; invalid rows map to INT_MAX so they sort last.
+
+    Used purely as a SPATIAL SORT KEY (tile locality for the pruned
+    neighbor search) — never as a voxel identity."""
+    big = jnp.float32(PAD_COORD)
+    vmin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
+    vmax = jnp.max(jnp.where(mask[:, None], points, -big), axis=0)
+    extent = jnp.maximum(jnp.max(vmax - vmin), 1e-6)
+    ijk = jnp.clip(
+        ((points - vmin) / extent * 1023.0).astype(jnp.int32), 0, 1023
+    )
+    code = (
+        _spread_bits_10(ijk[:, 0])
+        | (_spread_bits_10(ijk[:, 1]) << 1)
+        | (_spread_bits_10(ijk[:, 2]) << 2)
+    )
+    return jnp.where(mask, code, _INT_MAX)
+
+
+def morton_sort(points: jnp.ndarray, mask: jnp.ndarray):
+    """Sort points spatially (Z-order); pads stay at the tail.  Returns
+    (points, mask, order) — order maps sorted rows back to input rows."""
+    order = jnp.argsort(morton_code(points, mask))
+    return points[order], mask[order], order
+
+
 def grid_subsample(
     points: jnp.ndarray,
     mask: jnp.ndarray,

@@ -51,7 +51,7 @@ def test_pyramid_shapes_and_invariants(rng):
 
     for lvl in range(b.num_levels - 1):
         assert pyr.pools[lvl].shape == (2, b.points[lvl + 1], b.neighbors[lvl])
-        assert pyr.upsamples[lvl].shape == (2, b.points[lvl], b.neighbors[lvl])
+        assert pyr.upsamples[lvl].shape == (2, b.points[lvl], 1)
 
 
 def test_every_valid_point_has_a_conv_neighbor(rng):
