@@ -35,6 +35,27 @@ def load_assets_pair():
     )
 
 
+def synthetic_images(img_num: int, seed: int = 0, height: int = 240, width: int = 320):
+    """Synthetic 240x320 color / 120x160 depth stacks matching the real
+    3DMatch image pipeline's shapes (data/images.py) for timing the full
+    color+geometry model (reference models/architectures.py:195-514)."""
+    rng = np.random.default_rng(seed)
+    h2, w2 = height // 2, width // 2
+    intr = np.array(
+        [[577.87, 0, 319.5, 0], [0, 577.87, 239.5, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+        np.float64,
+    )
+    from pcrcg_tpu.ops.projection import adjust_intrinsic
+
+    return {
+        "colors": rng.uniform(0, 1, (2, img_num, height, width, 3)).astype(np.float32),
+        "depths": rng.uniform(0.5, 3.0, (2, img_num, h2, w2)).astype(np.float32),
+        "world2cam": np.broadcast_to(np.eye(4, dtype=np.float32), (2, img_num, 4, 4)).copy(),
+        "valid_maps": np.ones((2, img_num, h2, w2), np.float32),
+        "intrinsics": adjust_intrinsic(intr, (640, 480), (w2, h2)).astype(np.float32),
+    }
+
+
 def main(batch_size: int = None):
     from pcrcg_tpu.utils.jax_setup import enable_compilation_cache
 
@@ -45,26 +66,38 @@ def main(batch_size: int = None):
 
     batch_size = batch_size or int(os.environ.get("PCRCG_BENCH_BATCH", "1"))
     compute_dtype = os.environ.get("PCRCG_BENCH_DTYPE", "float32")
+    # PCRCG_BENCH_IMAGES=1: the flagship color+geometry pipeline (ResNet50
+    # over img_num images per cloud + 2D->3D lift ahead of KPFCNN).
+    image_feature = os.environ.get("PCRCG_BENCH_IMAGES", "0") == "1"
 
     from pcrcg_tpu.config import Config
     from pcrcg_tpu.data.pair import make_pair_batch
     from pcrcg_tpu.models.kpfcnn import KPFCNN
+    from pcrcg_tpu.models.pcrcg import PCRCG
     from pcrcg_tpu.ops.pyramid import build_pyramid
     from pcrcg_tpu.registration.ransac import feature_correspondences, ransac_pose
     from pcrcg_tpu.registration.sampling import weighted_sample_topk
 
     cfg = Config(compute_dtype=compute_dtype)
+    if image_feature:
+        cfg = cfg.replace(image_feature=True, in_feats_dim=129)
     src, tgt = load_assets_pair()
     batch = make_pair_batch(
         [dict(src_pcd=src, tgt_pcd=tgt, rot=np.eye(3), trans=np.zeros(3))]
         * batch_size,
         cfg.budgets.points[0],
     )
-    model = KPFCNN(cfg)
     pyr0 = build_pyramid(
         batch.points[0], batch.masks[0], cfg.budgets, cfg.first_subsampling_dl, cfg.conv_radius
     )
-    variables = model.init(jax.random.key(0), pyr0, batch.features[0])
+    if image_feature:
+        model = PCRCG(cfg)
+        images = {k: jnp.asarray(v) for k, v in synthetic_images(cfg.img_num).items()}
+        variables = model.init(jax.random.key(0), pyr0, batch.features[0], images)
+    else:
+        model = KPFCNN(cfg)
+        images = None
+        variables = model.init(jax.random.key(0), pyr0, batch.features[0])
 
     n_points = 5000
 
@@ -73,7 +106,10 @@ def main(batch_size: int = None):
         pyr = build_pyramid(
             points, masks, cfg.budgets, cfg.first_subsampling_dl, cfg.conv_radius
         )
-        out = model.apply(variables, pyr, features)
+        if image_feature:
+            out = model.apply(variables, pyr, features, images)
+        else:
+            out = model.apply(variables, pyr, features)
         k1, k2, k3 = jax.random.split(key, 3)
         scores = out["scores_overlap"] * out["scores_saliency"]
         src_idx, src_ok = weighted_sample_topk(k1, scores[0], masks[0], n_points)
@@ -120,10 +156,13 @@ def main(batch_size: int = None):
     dt = time.perf_counter() - t0
     pairs_per_sec = iters * batch_size / dt
 
+    metric = "end_to_end_registration_pairs_per_sec_per_chip"
+    if image_feature:
+        metric = "full_color_geometry_registration_pairs_per_sec_per_chip"
     print(
         json.dumps(
             {
-                "metric": "end_to_end_registration_pairs_per_sec_per_chip",
+                "metric": metric,
                 "value": round(pairs_per_sec, 3),
                 "unit": "pairs/sec",
                 "vs_baseline": round(pairs_per_sec / 20.0, 3),

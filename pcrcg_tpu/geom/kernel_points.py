@@ -77,15 +77,75 @@ def _optimize_dispositions(
     return kp.astype(np.float32)
 
 
+def spherical_lloyd(
+    num_points: int,
+    dimension: int = 3,
+    fixed: str = "center",
+    approx_n: int = 5000,
+    max_iter: int = 500,
+    momentum: float = 0.9,
+    seed: int = 0,
+) -> np.ndarray:
+    """Kernel disposition by Monte-Carlo Lloyd iteration on the unit ball:
+    kernel points converge to the centroids of their Voronoi cells under a
+    fresh uniform ball sample each iteration, smoothed by ``momentum``
+    (capability of reference kernels/kernel_points.py:66-243, the variant
+    the reference auto-selects for K > 30).  Vectorized: per-cell centroids
+    via scatter-add instead of a per-cell Python loop."""
+    rng = np.random.default_rng(seed)
+
+    # Init uniformly in the outer shell (0.9, 1.0) of the unit ball.
+    kp = np.zeros((0, dimension))
+    while kp.shape[0] < num_points:
+        cand = rng.uniform(-1.0, 1.0, size=(num_points * 4, dimension))
+        d2 = np.sum(cand**2, axis=1)
+        kp = np.vstack([kp, cand[(d2 < 1.0) & (d2 > 0.81)]])
+    kp = kp[:num_points]
+    if fixed == "center":
+        kp[0] = 0.0
+    elif fixed == "verticals":
+        kp[:3] = 0.0
+        kp[1, -1] = 2.0 / 3.0
+        kp[2, -1] = -2.0 / 3.0
+
+    for _ in range(max_iter):
+        x = rng.uniform(-1.0, 1.0, size=(approx_n, dimension))
+        x = x[np.sum(x**2, axis=1) < 1.0]
+        d2 = np.sum((x[:, None, :] - kp[None]) ** 2, axis=-1)  # [n, K]
+        cell = np.argmin(d2, axis=1)
+        sums = np.zeros_like(kp)
+        np.add.at(sums, cell, x)
+        counts = np.bincount(cell, minlength=num_points).astype(np.float64)
+        centers = np.where(counts[:, None] > 0, sums / np.maximum(counts, 1.0)[:, None], kp)
+        kp = kp + (1.0 - momentum) * (centers - kp)
+        if fixed == "center":
+            kp[0] = 0.0
+        elif fixed == "verticals":
+            kp[0] = 0.0
+            kp[:3, :-1] = 0.0
+    return kp.astype(np.float32)
+
+
 @functools.lru_cache(maxsize=8)
-def kernel_dispositions(num_points: int = 15, dimension: int = 3, fixed: str = "center") -> np.ndarray:
+def kernel_dispositions(
+    num_points: int = 15, dimension: int = 3, fixed: str = "center",
+    method: str = "auto",
+) -> np.ndarray:
     """Canonical unit-radius disposition [K, D]; cached on disk so every run
-    (and every test) sees the same layout."""
+    (and every test) sees the same layout.  ``method``: 'repulsion',
+    'lloyd', or 'auto' — repulsion up to K=30, Lloyd beyond, mirroring the
+    reference's switch (kernels/kernel_points.py:396-397)."""
+    if method == "auto":
+        method = "lloyd" if num_points > 30 else "repulsion"
     os.makedirs(_CACHE_DIR, exist_ok=True)
-    path = os.path.join(_CACHE_DIR, f"k_{num_points:03d}_{fixed}_{dimension}d.npy")
+    suffix = "" if method == "repulsion" else f"_{method}"
+    path = os.path.join(_CACHE_DIR, f"k_{num_points:03d}_{fixed}_{dimension}d{suffix}.npy")
     if os.path.exists(path):
         return np.load(path)
-    kp = _optimize_dispositions(num_points, dimension, fixed)
+    if method == "lloyd":
+        kp = spherical_lloyd(num_points, dimension, fixed)
+    else:
+        kp = _optimize_dispositions(num_points, dimension, fixed)
     np.save(path, kp)
     return kp
 
@@ -96,12 +156,13 @@ def layer_kernel_points(
     dimension: int = 3,
     fixed: str = "center",
     seed: int = 0,
+    method: str = "auto",
 ) -> np.ndarray:
     """Per-layer kernel points: canonical disposition + random z-rotation +
     0.01 jitter, scaled to ``radius`` (reference kernel_points.py:433-468;
     note the reference scales *then* rotates — rotation commutes with
     scaling, jitter is applied at unit scale)."""
-    kp = kernel_dispositions(num_points, dimension, fixed).copy()
+    kp = kernel_dispositions(num_points, dimension, fixed, method).copy()
     rng = np.random.default_rng(seed)
     theta = rng.uniform(0.0, 2 * np.pi)
     c, s = np.cos(theta), np.sin(theta)

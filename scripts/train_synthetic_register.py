@@ -1,0 +1,203 @@
+"""Accuracy evidence: train KPFCNN from scratch until on-device RANSAC
+recovers ground-truth transforms within the 3DMatch protocol threshold.
+
+Pairs are synthesized from the in-repo reference assets clouds
+(cloud_bin_21/34 — real indoor scan geometry): two overlapping half-space
+crops per sample, the target crop moved by a random SE(3), plus the
+reference's own augmentation noise (datasets/indoor.py:151-168).  Success
+criterion mirrors the benchmark oracle (lib/benchmark.py:213-243): RMSE of
+the estimated-vs-GT transform over GT-correspondence points <= 0.2 m.
+
+Writes a JSONL metric trajectory to perf_runs/accuracy_evidence.jsonl and
+prints a final summary line.
+
+Usage: python scripts/train_synthetic_register.py [--steps 3000]
+       [--eval-every 250] [--budget 26624] [--lr 0.01]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def random_rotation(rng) -> np.ndarray:
+    """Full-SO(3) rotation from random Euler angles (reference
+    benchmark_utils rotation_matrix semantics)."""
+    a, b, c = rng.uniform(0, 2 * np.pi, 3)
+
+    def rz(t):
+        return np.array([[np.cos(t), -np.sin(t), 0], [np.sin(t), np.cos(t), 0], [0, 0, 1]])
+
+    def ry(t):
+        return np.array([[np.cos(t), 0, np.sin(t)], [0, 1, 0], [-np.sin(t), 0, np.cos(t)]])
+
+    return (rz(a) @ ry(b) @ rz(c)).astype(np.float32)
+
+
+def make_synthetic_pair(cloud: np.ndarray, rng, noise: float = 0.005):
+    """Two overlapping half-space crops of ``cloud``; the tgt crop is moved
+    by a random SE(3).  GT satisfies rot @ src + trans = tgt."""
+    center = cloud.mean(0)
+    normal = rng.normal(size=3)
+    normal /= np.linalg.norm(normal)
+    d = (cloud - center) @ normal
+    band = 0.35 * d.std()
+    src = cloud[d > -band]
+    tgt0 = cloud[d < band]
+    rot = random_rotation(rng)
+    trans = rng.uniform(-1.0, 1.0, 3).astype(np.float32)
+    tgt = tgt0 @ rot.T + trans
+    src = src + rng.normal(scale=noise, size=src.shape)
+    tgt = tgt + rng.normal(scale=noise, size=tgt.shape)
+    return src.astype(np.float32), tgt.astype(np.float32), rot, trans.astype(np.float32)
+
+
+def protocol_rmse(t_est: np.ndarray, rot: np.ndarray, trans: np.ndarray,
+                  src: np.ndarray) -> float:
+    """RMSE between the estimated and GT transforms applied to the source
+    points — the quantity the 3DMatch recall criterion thresholds at 0.2 m
+    (covariance-weighted form, lib/benchmark.py:213-243; with dense point
+    support the unweighted RMSE is the same quantity)."""
+    gt = src @ rot.T + trans
+    est = src @ t_est[:3, :3].T + t_est[:3, 3]
+    return float(np.sqrt(np.mean(np.sum((gt - est) ** 2, axis=1))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--eval-every", type=int, default=250)
+    ap.add_argument("--budget", type=int, default=26624)
+    ap.add_argument("--lr", type=float, default=0.005)
+    ap.add_argument("--out", default="perf_runs/accuracy_evidence.jsonl")
+    ap.add_argument("--n-eval", type=int, default=4)
+    ap.add_argument("--n-points", type=int, default=5000)
+    args = ap.parse_args()
+
+    from pcrcg_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+    # explicitly so CPU runs don't steal the chip from a concurrent job.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    import jax.numpy as jnp
+
+    from bench import load_assets_pair
+    from pcrcg_tpu.config import Budgets, Config
+    from pcrcg_tpu.data.pair import make_pair_batch
+    from pcrcg_tpu.models.kpfcnn import KPFCNN
+    from pcrcg_tpu.ops.pyramid import build_pyramid
+    from pcrcg_tpu.registration.ransac import feature_correspondences, ransac_pose
+    from pcrcg_tpu.registration.sampling import weighted_sample_topk
+    from pcrcg_tpu.train.state import create_train_state
+    from pcrcg_tpu.train.step import train_step
+
+    budgets = Budgets(
+        points=(args.budget, args.budget // 3 + 64, args.budget // 10 + 64,
+                args.budget // 32 + 64),
+    )
+    cfg = Config(budgets=budgets, lr=args.lr, w_saliency_loss=1.0)
+    clouds = list(load_assets_pair())
+    rng = np.random.default_rng(7)
+
+    def sample_batch(r):
+        cloud = clouds[int(r.integers(0, len(clouds)))]
+        src, tgt, rot, trans = make_synthetic_pair(cloud, r)
+        batch = make_pair_batch(
+            [dict(src_pcd=src, tgt_pcd=tgt, rot=rot, trans=trans)],
+            cfg.budgets.points[0],
+        )
+        return batch, (src, tgt, rot, trans)
+
+    # Held-out evaluation pairs (fixed seed, disjoint from training stream).
+    eval_rng = np.random.default_rng(12345)
+    eval_pairs = [sample_batch(eval_rng) for _ in range(args.n_eval)]
+
+    model = KPFCNN(cfg)
+    batch0, _ = sample_batch(np.random.default_rng(0))
+    pyr0 = build_pyramid(
+        batch0.points[0], batch0.masks[0], cfg.budgets, cfg.first_subsampling_dl,
+        cfg.conv_radius,
+    )
+    variables = jax.jit(model.init)(jax.random.key(cfg.seed), pyr0, batch0.features[0])
+    state = create_train_state(cfg, variables)
+
+    @jax.jit
+    def register_pair(variables, points, masks, features, key):
+        pyr = build_pyramid(
+            points, masks, cfg.budgets, cfg.first_subsampling_dl, cfg.conv_radius
+        )
+        out = model.apply(variables, pyr, features)
+        k1, k2, k3 = jax.random.split(key, 3)
+        scores = out["scores_overlap"] * out["scores_saliency"]
+        src_idx, src_ok = weighted_sample_topk(k1, scores[0], masks[0], args.n_points)
+        tgt_idx, tgt_ok = weighted_sample_topk(k2, scores[1], masks[1], args.n_points)
+        s_pts, s_feats = points[0][src_idx], out["feats_f"][0][src_idx]
+        t_pts, t_feats = points[1][tgt_idx], out["feats_f"][1][tgt_idx]
+        corr, valid = feature_correspondences(s_feats, t_feats, src_ok, tgt_ok)
+        res = ransac_pose(
+            k3, s_pts, t_pts, corr, valid,
+            distance_threshold=0.05, ransac_n=3, num_iterations=50000,
+            hypothesis_chunk=1024,
+        )
+        return res.transform, res.fitness
+
+    def evaluate(state, step):
+        rmses, fits = [], []
+        for i, (batch, (src, tgt, rot, trans)) in enumerate(eval_pairs):
+            t_est, fit = register_pair(
+                state.variables(), batch.points[0], batch.masks[0],
+                batch.features[0], jax.random.key(1000 + i),
+            )
+            t_est = np.asarray(t_est)
+            rmses.append(protocol_rmse(t_est, rot, trans, src))
+            fits.append(float(fit))
+        recall = float(np.mean([r <= 0.2 for r in rmses]))
+        return dict(step=step, rmse=[round(r, 4) for r in rmses],
+                    fitness=[round(f, 4) for f in fits], recall=recall)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    log = open(args.out, "a")
+
+    def emit(rec):
+        rec["t"] = round(time.time(), 1)
+        log.write(json.dumps(rec) + "\n")
+        log.flush()
+        print(json.dumps(rec), flush=True)
+
+    emit(dict(event="start", steps=args.steps, budget=args.budget, lr=args.lr))
+    emit(dict(event="eval", **evaluate(state, 0)))
+
+    key = jax.random.key(999)
+    t0 = time.perf_counter()
+    for step in range(1, args.steps + 1):
+        batch, _ = sample_batch(rng)
+        state, stats = train_step(model, cfg, state, batch, jax.random.fold_in(key, step))
+        if step % 50 == 0:
+            emit(dict(
+                event="train", step=step,
+                total=round(float(stats["total"]), 4),
+                circle=round(float(stats.get("circle_loss", jnp.nan)), 4),
+                recall=round(float(stats.get("recall", jnp.nan)), 4),
+                sec_per_step=round((time.perf_counter() - t0) / step, 3),
+            ))
+        if step % args.eval_every == 0:
+            emit(dict(event="eval", **evaluate(state, step)))
+
+    final = evaluate(state, args.steps)
+    emit(dict(event="final", **final))
+    ok = final["recall"] == 1.0
+    print(f"ACCURACY EVIDENCE {'PASS' if ok else 'PARTIAL'}: "
+          f"registration recall {final['recall']:.2f} at protocol RMSE<=0.2", flush=True)
+
+
+if __name__ == "__main__":
+    main()

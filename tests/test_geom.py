@@ -61,3 +61,36 @@ def test_layer_kernel_points_differ_by_seed():
     assert not np.allclose(a, b)
     # scaled to radius: mean non-center norm ≈ 0.66 * 0.125
     np.testing.assert_allclose(np.linalg.norm(a[1:], axis=1).mean(), 0.66 * 0.125, rtol=0.15)
+
+
+def test_spherical_lloyd_dispositions():
+    """Lloyd variant (auto-selected for K > 30, mirroring the reference's
+    kernels/kernel_points.py:396-397 switch): points stay in the unit ball,
+    the center stays fixed, cells are well-spread, output is deterministic."""
+    from pcrcg_tpu.geom.kernel_points import spherical_lloyd
+
+    kp = spherical_lloyd(35, max_iter=120, seed=3)
+    assert kp.shape == (35, 3)
+    np.testing.assert_allclose(kp[0], 0.0, atol=1e-7)
+    radii = np.linalg.norm(kp, axis=1)
+    assert radii.max() <= 1.0 + 1e-5
+    d = np.linalg.norm(kp[:, None] - kp[None], axis=-1)
+    d[np.arange(35), np.arange(35)] = np.inf
+    assert d.min() > 0.15  # no collapsed cells
+    kp2 = spherical_lloyd(35, max_iter=120, seed=3)
+    np.testing.assert_array_equal(kp, kp2)
+
+
+def test_kernel_dispositions_method_auto_switch(tmp_path, monkeypatch):
+    """K > 30 routes to Lloyd under 'auto'; explicit methods get distinct
+    cache files."""
+    import pcrcg_tpu.geom.kernel_points as kpmod
+
+    monkeypatch.setattr(kpmod, "_CACHE_DIR", str(tmp_path))
+    kpmod.kernel_dispositions.cache_clear()
+    auto = kpmod.kernel_dispositions(32, 3, "center", "auto")
+    lloyd = kpmod.kernel_dispositions(32, 3, "center", "lloyd")
+    np.testing.assert_array_equal(auto, lloyd)
+    files = sorted(p.name for p in tmp_path.iterdir())
+    assert files == ["k_032_center_3d_lloyd.npy"]
+    kpmod.kernel_dispositions.cache_clear()
