@@ -54,8 +54,12 @@ def weighted_bce(prediction, gt, valid) -> tuple[jnp.ndarray, jnp.ndarray, jnp.n
     (reference loss.py:117-135).  prediction/gt/valid: [K]."""
     v = valid.astype(prediction.dtype)
     n = jnp.maximum(jnp.sum(v), 1.0)
-    eps = 1e-12
-    ce = -(gt * jnp.log(prediction + eps) + (1.0 - gt) * jnp.log(1.0 - prediction + eps))
+    # Clamp away exact 0/1 before the logs: bounds the backward at ~1e7
+    # (torch BCE clamps log at -100 for the same reason); saturated sigmoid
+    # outputs otherwise produce 1e12-scale cotangents that can overflow
+    # downstream f32 accumulations.
+    p = jnp.clip(prediction, 1e-7, 1.0 - 1e-7)
+    ce = -(gt * jnp.log(p) + (1.0 - gt) * jnp.log(1.0 - p))
     w_negative = jnp.sum(gt * v) / n  # positive fraction, applied to negatives
     w_positive = 1.0 - w_negative
     weights = jnp.where(gt >= 0.5, w_positive, w_negative)

@@ -159,7 +159,7 @@ class ResnetBottleneckBlock(nn.Module):
             y = UnaryBlock(quarter, name="unary1", dtype=self.dtype)(x, s_mask)
         else:
             y = x
-        y = KPConv(
+        conv = KPConv(
             in_channels=quarter,
             out_channels=quarter,
             radius=self.radius,
@@ -168,12 +168,20 @@ class ResnetBottleneckBlock(nn.Module):
             compute_dtype=self.dtype or jnp.float32,
             name="KPConv",
             **self.config_kp,
-        )(q_pts, s_pts, neighb_inds, y, neighbors_rel)
+        )
+        if self.strided:
+            # The strided shortcut's max-pooled features ride the KPConv's
+            # neighbor gather (one gather instead of three on the fused
+            # path: coords + conv features + shortcut features).
+            y, shortcut = conv(q_pts, s_pts, neighb_inds, y, neighbors_rel,
+                               shortcut_x=x)
+        else:
+            y = conv(q_pts, s_pts, neighb_inds, y, neighbors_rel)
+            shortcut = x
         y = NormBlock(quarter, name="norm_conv")(y, q_mask)
         y = nn.leaky_relu(y, 0.1)
         y = UnaryBlock(self.out_dim, no_relu=True, name="unary2", dtype=self.dtype)(y, q_mask)
 
-        shortcut = max_pool(x, neighb_inds) if self.strided else x
         if self.in_dim != self.out_dim:
             shortcut = UnaryBlock(
                 self.out_dim, no_relu=True, name="unary_shortcut", dtype=self.dtype

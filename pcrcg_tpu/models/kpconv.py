@@ -57,7 +57,8 @@ def kpconv(
     ones_features: bool = False,
     impl: str = "xla",
     interpret: bool = False,
-) -> jnp.ndarray:
+    shortcut_x=None,
+):
     """q_pts [Nq,3], s_pts [Ns,3], neighb_inds [Nq,H] (pad=Ns), x [Ns,Cin],
     kernel_points [K,3], weights [K,Cin,Cout] -> [Nq,Cout].
 
@@ -69,9 +70,67 @@ def kpconv(
     ``impl`` selects the compute path:
       * 'xla'    — K-unrolled VPU reduce + one flattened matmul;
       * 'reduce' — Pallas influence+reduce kernel, matmul in XLA;
-      * 'fused'  — Pallas influence+reduce+matmul (one HBM read of the
-                   gathered features; ops/kpconv_fused.py).
-    All three preserve the reference semantics exactly."""
+      * 'fused'  — merged-gather Pallas kernel: ONE row gather per block
+                   fetches [support coords | features] together, influence
+                   is computed in-kernel against the query coords, and the
+                   whole influence+reduce+matmul chain runs on-chip
+                   (ops/kpconv_fused.py).  TPU gathers are latency-bound
+                   per ROW regardless of width, so the coordinate gather
+                   rides along for free.
+    All three preserve the reference semantics exactly.
+
+    ``shortcut_x`` [Ns, C2] (fused path only): extra support features that
+    ride the same gather; returns a second output ``max_h shortcut_x[nbr]``
+    — the strided resnet block's max-pooled shortcut (zero shadow rows,
+    reference models/blocks.py:86-103) without its own gather."""
+    on_tpu = jax.default_backend() == "tpu" or interpret
+
+    if impl == "fused" and on_tpu and shortcut_x is not None:
+        # MERGED-GATHER path, used for strided blocks: ONE row gather
+        # fetches [support coords | conv features | shortcut features]
+        # together (gathers are latency-bound per ROW, so the extra width
+        # is free), the kernel computes rel against the query coords, and
+        # the strided shortcut's max-pool reads the same gather — 1 gather
+        # where the XLA path needs 3.  Non-strided blocks stay on the
+        # shared-rel fused path below: their rel gather is amortized
+        # across every block of the level, so merging would ADD gathers.
+        from pcrcg_tpu.ops.kpconv_fused import kpconv_fused_merged_ad
+
+        # The merged array carries GEOMETRY, so it stays f32 regardless of
+        # compute_dtype — bf16 coords would quantize rel to ~1 cm at room
+        # scale.  The kernel accumulates in f32 either way.
+        if ones_features:
+            feats = jnp.ones((x.shape[0], 1), jnp.float32)
+            c1 = 1
+        else:
+            feats = x.astype(jnp.float32)
+            c1 = x.shape[-1]
+        parts = [
+            jnp.pad(s_pts, ((0, 0), (0, 5))).astype(jnp.float32),  # coords+pad
+            feats,
+            shortcut_x.astype(jnp.float32),
+        ]
+        base = jnp.concatenate(parts, axis=-1)  # [Ns, 8+C1+C2]
+        nxc = pad_gather(base, neighb_inds, fill_value=0.0)  # ONE gather
+        # Only [coords | conv features] enter the kernel.
+        nxc_t = jnp.transpose(nxc[:, :, : 8 + c1], (1, 2, 0))
+        w8 = jnp.concatenate(
+            [jnp.zeros((weights.shape[0], 8, weights.shape[2]), compute_dtype),
+             weights.astype(compute_dtype)],
+            axis=1,
+        )
+        out, neighbor_num = kpconv_fused_merged_ad(
+            jax.lax.stop_gradient(q_pts), nxc_t, kernel_points, w8,
+            float(kp_extent), influence, aggregation, interpret,
+            not ones_features,  # ones features: constants, no dnx
+        )
+        neighbor_num = jax.lax.stop_gradient(neighbor_num)
+        out = out / neighbor_num[:, None].astype(out.dtype)
+        # Max-pooled shortcut from the shared gather (shadow rows are
+        # zero, exactly the reference's zero shadow feature + max).
+        shortcut = jnp.max(nxc[:, :, 8 + c1:], axis=1).astype(jnp.float32)
+        return out, shortcut
+
     if neighbors_rel is None:
         # Gather neighbor coordinates; shadow index -> PAD_COORD (far away).
         neighbors = pad_gather(s_pts, neighb_inds, fill_value=PAD_COORD)
@@ -86,21 +145,19 @@ def kpconv(
     else:
         neighb_x0 = None
 
-    on_tpu = jax.default_backend() == "tpu" or interpret
-
     if impl == "fused" and on_tpu:
         from pcrcg_tpu.ops.kpconv_fused import kpconv_fused_ad
 
         if neighb_x0 is not None:
-            nx = neighb_x0  # C=1; the kernel pads channels to sublanes
+            nx = neighb_x0.astype(jnp.float32)
         else:
             nx = pad_gather(x, neighb_inds, fill_value=0.0).astype(compute_dtype)
-        w = weights
         nx_t = jnp.transpose(nx, (1, 2, 0))  # [H,C,N]
         out, neighbor_num = kpconv_fused_ad(
             jax.lax.stop_gradient(neighbors), nx_t, kernel_points,
-            w.astype(compute_dtype), float(kp_extent), influence, aggregation,
-            interpret, neighb_x0 is None,  # ones features: constants, no dnx
+            weights.astype(compute_dtype), float(kp_extent), influence,
+            aggregation, interpret,
+            neighb_x0 is None,  # ones features: constants, no dnx
         )
         neighbor_num = jax.lax.stop_gradient(neighbor_num)
         return out / neighbor_num[:, None].astype(out.dtype)
@@ -213,9 +270,12 @@ class KPConv(nn.Module):
     impl: str = "xla"
 
     @nn.compact
-    def __call__(self, q_pts, s_pts, neighb_inds, x, neighbors_rel=None):
+    def __call__(self, q_pts, s_pts, neighb_inds, x, neighbors_rel=None,
+                 shortcut_x=None):
         """q_pts [B,Nq,3], s_pts [B,Ns,3], neighb_inds [B,Nq,H], x [B,Ns,C],
-        optional shared neighbors_rel [B,Nq,H,3]."""
+        optional shared neighbors_rel [B,Nq,H,3]; ``shortcut_x`` [B,Ns,C2]
+        additionally returns the max-pooled shortcut features (fused path:
+        from the same gather; otherwise a plain max_pool)."""
         kp = layer_kernel_points(
             self.radius, self.num_kernel_points, fixed=self.fixed, seed=self.seed
         )
@@ -228,14 +288,28 @@ class KPConv(nn.Module):
             (self.num_kernel_points, self.in_channels, self.out_channels),
         )
 
-        def conv_one(q, s, n, f, rel=None):
+        def conv_one(q, s, n, f, rel=None, sx=None):
             return kpconv(
                 q, s, n, f, kernel_points, weights,
                 self.kp_extent, self.influence, self.aggregation,
                 compute_dtype=self.compute_dtype, neighbors_rel=rel,
                 ones_features=self.ones_features, impl=self.impl,
+                shortcut_x=sx,
             )
 
+        if shortcut_x is not None and resolve_kpconv_impl(self.impl) == "fused" \
+                and (jax.default_backend() == "tpu"):
+            return jax.vmap(lambda q, s, n, f, sx: conv_one(q, s, n, f, None, sx))(
+                q_pts, s_pts, neighb_inds, x, shortcut_x
+            )
+        if shortcut_x is not None:
+            from pcrcg_tpu.models.blocks import max_pool
+
+            if neighbors_rel is not None:
+                out = jax.vmap(conv_one)(q_pts, s_pts, neighb_inds, x, neighbors_rel)
+            else:
+                out = jax.vmap(conv_one)(q_pts, s_pts, neighb_inds, x)
+            return out, max_pool(shortcut_x, neighb_inds)
         if neighbors_rel is not None:
             return jax.vmap(conv_one)(q_pts, s_pts, neighb_inds, x, neighbors_rel)
         return jax.vmap(conv_one)(q_pts, s_pts, neighb_inds, x)

@@ -150,10 +150,18 @@ class KPFCNN(nn.Module):
         extent_ratio = cfg.KP_extent / cfg.conv_radius
 
         # 1. joint encoder
-        # Per-level relative neighbor coordinates, gathered ONCE and shared
-        # by every block at the level (TPU gathers are latency-bound; the
-        # reference re-gathers inside each KPConv, blocks.py:269-275).
+        # XLA path: per-level relative neighbor coordinates, gathered ONCE
+        # and shared by every block at the level (TPU gathers are
+        # latency-bound; the reference re-gathers inside each KPConv,
+        # blocks.py:269-275).  The fused path gathers coords together with
+        # each block's features in ONE gather (models/kpconv.py), so the
+        # shared precompute would only add gathers there.
         from pcrcg_tpu.ops.masked import PAD_COORD, pad_gather
+
+        fused_path = (
+            resolve_kpconv_impl(cfg.kpconv_impl) == "fused"
+            and jax.default_backend() == "tpu"
+        )
 
         def rel_coords(q_pts, s_pts, neighb):
             def one(q, s, n):
@@ -165,7 +173,9 @@ class KPFCNN(nn.Module):
         pool_rel = {}
         for bp in plan.encoder:
             lvl = bp.layer
-            if bp.strided and lvl not in pool_rel:
+            if bp.strided and lvl not in pool_rel and not fused_path:
+                # Fused strided blocks gather coords+features+shortcut in
+                # ONE merged gather instead.
                 pool_rel[lvl] = rel_coords(
                     pyramid.points[lvl + 1], pyramid.points[lvl], pyramid.pools[lvl]
                 )
@@ -183,11 +193,11 @@ class KPFCNN(nn.Module):
             if bp.strided:
                 q_pts, q_mask = pyramid.points[lvl + 1], pyramid.masks[lvl + 1]
                 neighb = pyramid.pools[lvl]
-                rel = pool_rel[lvl]
+                rel = pool_rel.get(lvl)
             else:
                 q_pts, q_mask = pyramid.points[lvl], pyramid.masks[lvl]
                 neighb = pyramid.neighbors[lvl]
-                rel = conv_rel[lvl]
+                rel = conv_rel.get(lvl)
             s_pts, s_mask = pyramid.points[lvl], pyramid.masks[lvl]
             common = dict(
                 in_dim=bp.in_dim,

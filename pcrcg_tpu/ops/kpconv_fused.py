@@ -159,6 +159,208 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
+def _merged_fwd_kernel(
+    q3_ref, nxc_ref, kp_ref, w_ref,
+    out_ref, nn_ref,
+    wgt_ref, acc_ref, hsum_ref,
+    *, kp_extent: float, influence: str, aggregation: str, k_count: int,
+):
+    """Merged-gather forward: channel rows 0-2 of nxc are the gathered
+    ABSOLUTE support coordinates (rows 3-7 zero pad, features from row 8).
+    rel is computed in-kernel against the query coordinates q3 [3, N], so
+    the separate coordinate gather + transpose disappear.  Shadow rows
+    gather all-zero: their rel is (-q), whose influence is finite but
+    multiplies zero features — identical contribution to the reference's
+    PAD_COORD convention.  W carries 8 leading zero channel rows, so the
+    coordinate rows never reach the output; the neighbor-count heuristic
+    skips them explicitly."""
+    jd = pl.program_id(1)
+    jc = pl.program_id(2)
+    c_tiles = pl.num_programs(2)
+    h_count = nxc_ref.shape[0]
+
+    @pl.when(jnp.logical_and(jd == 0, jc == 0))
+    def _():
+        rx = nxc_ref[:, 0, :] - q3_ref[0, :][None, :]
+        ry = nxc_ref[:, 1, :] - q3_ref[1, :][None, :]
+        rz = nxc_ref[:, 2, :] - q3_ref[2, :][None, :]
+        _compute_wgt(
+            rx, ry, rz, kp_ref, wgt_ref,
+            kp_extent=kp_extent, influence=influence,
+            aggregation=aggregation, k_count=k_count,
+        )
+        hsum_ref[:] = jnp.zeros_like(hsum_ref)
+
+    for k in range(k_count):
+        acc_ref[k] = jnp.zeros_like(acc_ref[0])
+
+    first_d = jd == 0
+    first_c = jc == 0
+
+    def h_step(h, _):
+        nxh = nxc_ref[h].astype(jnp.float32)  # [c_blk, T]
+        for k in range(k_count):
+            acc_ref[k] += wgt_ref[k, h][None, :] * nxh
+
+        @pl.when(first_d)
+        def _():
+            s_all = jnp.sum(nxh, axis=0)
+            # The first block's rows 0-7 are coordinates, not features —
+            # exclude them from the neighbor-count feature sums.
+            s_coord = jnp.sum(nxh[:8, :], axis=0)
+            hsum_ref[h, :] += jnp.where(first_c, s_all - s_coord, s_all)
+
+        return 0
+
+    jax.lax.fori_loop(0, h_count, h_step, 0)
+
+    @pl.when(jnp.logical_and(jd == 0, jc == c_tiles - 1))
+    def _():
+        nn = jnp.sum((hsum_ref[:] > 0.0).astype(jnp.float32), axis=0)
+        nn_ref[:] = jnp.maximum(nn, 1.0)[:, None]
+
+    out = jax.lax.dot_general(
+        acc_ref[0], w_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    for k in range(1, k_count):
+        out += jax.lax.dot_general(
+            acc_ref[k], w_ref[k], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jc == 0)
+    def _():
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    @pl.when(jc > 0)
+    def _():
+        out_ref[:] += out.astype(out_ref.dtype)
+
+
+def kpconv_fused_merged(
+    q_pts: jnp.ndarray,
+    nxc_t: jnp.ndarray,
+    kernel_points: jnp.ndarray,
+    weights8: jnp.ndarray,
+    kp_extent: float,
+    influence: str = "linear",
+    aggregation: str = "sum",
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """q_pts [N,3] query coords, nxc_t [Hp, 8+C, N] gathered
+    [coords|pad|features] (ONE gather per block, fill 0), weights8
+    [K, 8+C, D] with the first 8 channel rows zero ->
+    (out [N,D] BEFORE neighbor-count division, nn [N] f32)."""
+    n = q_pts.shape[0]
+    k_count, c8, d = weights8.shape
+    assert nxc_t.shape[1] == c8, (nxc_t.shape, weights8.shape)
+
+    nxc_t = _pad_to(nxc_t, 0, 8)
+    h_pad = nxc_t.shape[0]
+    if c8 <= 128:
+        nxc_t = _pad_to(nxc_t, 1, 8)
+        weights8 = _pad_to(weights8, 1, 8)
+    else:
+        nxc_t = _pad_to(nxc_t, 1, 128)
+        weights8 = _pad_to(weights8, 1, 128)
+    c_pad = weights8.shape[1]
+    c_blk = min(c_pad, 128)
+    if d > 256:
+        weights8 = _pad_to(weights8, 2, 256)
+    d_pad = weights8.shape[2]
+    d_blk = min(d_pad, 256)
+
+    q3 = _pad_to(q_pts.T.astype(jnp.float32), 1, _T)  # [3, N]
+    nxc_t = _pad_to(nxc_t, 2, _T)
+    n_pad = q3.shape[1]
+
+    kernel = functools.partial(
+        _merged_fwd_kernel,
+        kp_extent=float(kp_extent),
+        influence=influence,
+        aggregation=aggregation,
+        k_count=k_count,
+    )
+    out, nn = pl.pallas_call(
+        kernel,
+        grid=(n_pad // _T, d_pad // d_blk, c_pad // c_blk),
+        in_specs=[
+            pl.BlockSpec((3, _T), lambda i, jd, jc: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h_pad, c_blk, _T), lambda i, jd, jc: (0, jc, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_count, 3), lambda i, jd, jc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_count, c_blk, d_blk), lambda i, jd, jc: (0, jc, jd), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_T, d_blk), lambda i, jd, jc: (i, jd), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_T, 1), lambda i, jd, jc: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, d_pad), out_dtype),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k_count, h_pad, _T), jnp.float32),
+            pltpu.VMEM((k_count, c_blk, _T), jnp.float32),
+            pltpu.VMEM((h_pad, _T), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q3, nxc_t, kernel_points.astype(jnp.float32), weights8.astype(jnp.float32))
+    return out[:n, :d], nn[:n, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def kpconv_fused_merged_ad(
+    q_pts, nxc_t, kernel_points, weights8,
+    kp_extent, influence="linear", aggregation="sum", interpret=False,
+    needs_dnx=True,
+):
+    """Differentiable merged-gather fused KPConv (gradients w.r.t. nxc_t
+    and weights8; query/kernel geometry is fixed)."""
+    return kpconv_fused_merged(
+        q_pts, nxc_t, kernel_points, weights8, kp_extent, influence,
+        aggregation, interpret=interpret,
+    )
+
+
+def _kpconv_merged_fwd(q_pts, nxc_t, kernel_points, weights8, kp_extent,
+                       influence, aggregation, interpret, needs_dnx):
+    out = kpconv_fused_merged(
+        q_pts, nxc_t, kernel_points, weights8, kp_extent, influence,
+        aggregation, interpret=interpret,
+    )
+    return out, (q_pts, nxc_t, kernel_points, weights8)
+
+
+def _kpconv_merged_bwd(kp_extent, influence, aggregation, interpret,
+                       needs_dnx, res, cots):
+    q_pts, nxc_t, kernel_points, weights8 = res
+    g, _g_nn = cots
+    # rel planes from the stored merged gather (cheap [H,N] slices).
+    qx = q_pts[:, 0].astype(jnp.float32)
+    rel_planes = (
+        nxc_t[:, 0, :].astype(jnp.float32) - qx[None, :],
+        nxc_t[:, 1, :].astype(jnp.float32) - q_pts[:, 1].astype(jnp.float32)[None, :],
+        nxc_t[:, 2, :].astype(jnp.float32) - q_pts[:, 2].astype(jnp.float32)[None, :],
+    )
+    dnx_t, dw = _bwd_from_planes(
+        rel_planes, nxc_t, g.astype(jnp.float32), kernel_points, weights8,
+        kp_extent, influence, aggregation, interpret=interpret,
+    )
+    if not needs_dnx:
+        dnx_t = jnp.zeros_like(nxc_t)
+    return (
+        jnp.zeros_like(q_pts),
+        dnx_t.astype(nxc_t.dtype),
+        jnp.zeros_like(kernel_points),
+        dw.astype(weights8.dtype),
+    )
+
+
+kpconv_fused_merged_ad.defvjp(_kpconv_merged_fwd, _kpconv_merged_bwd)
+
+
 def kpconv_fused(
     rel: jnp.ndarray,
     nx_t: jnp.ndarray,
@@ -335,13 +537,31 @@ def kpconv_fused_bwd(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Full backward of the fused KPConv: rel [N,H,3], nx_t [H,C,N] (the
     forward's gathered features), g [N,D] -> (dnx_t [H,C,N], dW [K,C,D])."""
-    n, h, _ = rel.shape
-    k_count, c, d = weights.shape
-    h_orig, c_orig, d_orig = h, c, d
-
     rel = _pad_to(rel, 1, 8)
+    planes = (rel[:, :, 0].T, rel[:, :, 1].T, rel[:, :, 2].T)
+    return _bwd_from_planes(
+        planes, nx_t, g, kernel_points, weights,
+        kp_extent, influence, aggregation, interpret=interpret,
+    )
+
+
+def _bwd_from_planes(
+    planes, nx_t, g, kernel_points, weights,
+    kp_extent, influence="linear", aggregation="sum", interpret=False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Backward pallas call from pre-split rel planes ([H, N] x/y/z) and
+    the gathered features nx_t [H, C, N].  Outputs are sliced back to the
+    given (unpadded) nx_t / weights shapes."""
+    rx, ry, rz = (p.astype(jnp.float32) for p in planes)
+    n = rx.shape[1]
+    k_count, c, d = weights.shape
+    h_orig = nx_t.shape[0]
+    c_orig, d_orig = c, d
+
+    rx, ry, rz = (_pad_to(p, 0, 8) for p in (rx, ry, rz))
     nx_t = _pad_to(nx_t, 0, 8)
-    h_pad = rel.shape[1]
+    h_pad = nx_t.shape[0]
+    assert rx.shape[0] == h_pad, (rx.shape, h_pad)
     if c <= 128:
         weights = _pad_to(weights, 1, 8)
         nx_t = _pad_to(nx_t, 1, 8)
@@ -360,9 +580,9 @@ def kpconv_fused_bwd(
     if g.shape[1] != d_pad:
         g = _pad_to(g, 1, d_pad)
 
-    rx = _pad_to(rel[:, :, 0].T, 1, _T)
-    ry = _pad_to(rel[:, :, 1].T, 1, _T)
-    rz = _pad_to(rel[:, :, 2].T, 1, _T)
+    rx = _pad_to(rx, 1, _T)
+    ry = _pad_to(ry, 1, _T)
+    rz = _pad_to(rz, 1, _T)
     n_pad = rx.shape[1]
     nx_t = _pad_to(nx_t, 2, _T)
     g = _pad_to(g, 0, _T)

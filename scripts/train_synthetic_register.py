@@ -74,6 +74,9 @@ def main():
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--budget", type=int, default=26624)
     ap.add_argument("--lr", type=float, default=0.005)
+    ap.add_argument("--optimizer", default="SGD", choices=["SGD", "Adam"],
+                    help="Adam converges far faster from scratch; SGD matches "
+                         "the reference schedule")
     ap.add_argument("--out", default="perf_runs/accuracy_evidence.jsonl")
     ap.add_argument("--n-eval", type=int, default=4)
     ap.add_argument("--n-points", type=int, default=5000)
@@ -104,7 +107,8 @@ def main():
         points=(args.budget, args.budget // 3 + 64, args.budget // 10 + 64,
                 args.budget // 32 + 64),
     )
-    cfg = Config(budgets=budgets, lr=args.lr, w_saliency_loss=1.0)
+    cfg = Config(budgets=budgets, lr=args.lr, w_saliency_loss=1.0,
+                 optimizer=args.optimizer)
     clouds = list(load_assets_pair())
     rng = np.random.default_rng(7)
 
@@ -128,7 +132,12 @@ def main():
         cfg.conv_radius,
     )
     variables = jax.jit(model.init)(jax.random.key(cfg.seed), pyr0, batch0.features[0])
-    state = create_train_state(cfg, variables)
+    # Spread the reference's 150 per-epoch decays over this run — the
+    # default steps_per_epoch=1 would decay lr x0.95 EVERY STEP and freeze
+    # training by step ~200.
+    state = create_train_state(
+        cfg, variables, steps_per_epoch=max(1, args.steps // 150)
+    )
 
     @jax.jit
     def register_pair(variables, points, masks, features, key):

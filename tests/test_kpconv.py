@@ -169,3 +169,27 @@ def test_pallas_weighted_reduce_matches_jnp(rng):
         want_nn = np.maximum((nx.sum(-1) > 0).sum(-1), 1)
         np.testing.assert_allclose(np.asarray(got_w), want_w, rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(got_nn), want_nn)
+
+
+def test_fused_merged_shortcut_matches_max_pool(rng):
+    """The strided shortcut features that ride the merged gather must equal
+    a plain zero-shadow max_pool (reference models/blocks.py:86-103)."""
+    nq, ns, h, k, cin, cout, c2 = 21, 17, 9, 15, 12, 8, 10
+    q = rng.normal(size=(nq, 3)).astype(np.float32)
+    s = rng.normal(size=(ns, 3)).astype(np.float32)
+    neighb = rng.integers(0, ns + 1, size=(nq, h)).astype(np.int32)
+    x = rng.normal(size=(ns, cin)).astype(np.float32)
+    sx = rng.normal(size=(ns, c2)).astype(np.float32)
+    kp = rng.normal(scale=0.5, size=(k, 3)).astype(np.float32)
+    w = rng.normal(size=(k, cin, cout)).astype(np.float32)
+
+    out, shortcut = kpconv(
+        jnp.asarray(q), jnp.asarray(s), jnp.asarray(neighb), jnp.asarray(x),
+        jnp.asarray(kp), jnp.asarray(w), 1.2, impl="fused", interpret=True,
+        shortcut_x=jnp.asarray(sx),
+    )
+    want_out = oracle_kpconv(q, s, neighb, x, kp, w, 1.2)
+    sx_ext = np.concatenate([sx, np.zeros((1, c2), np.float32)], 0)
+    want_sc = sx_ext[neighb].max(axis=1)
+    np.testing.assert_allclose(np.asarray(out), want_out, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(shortcut), want_sc, rtol=1e-5, atol=1e-6)
