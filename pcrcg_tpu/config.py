@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import yaml
 
@@ -192,22 +192,66 @@ class Config:
     # influence+reduce+matmul, ops/kpconv_fused.py).
     kpconv_impl: str = "auto"
     seed: int = 42
+    # Explicit architecture block-name list (reference configs/models.py
+    # lists, including *_deformable variants); None -> the per-dataset
+    # registry.  YAML key: 'architecture'.
+    architecture_list: Optional[Tuple[str, ...]] = None
 
     def __post_init__(self):
-        # Deformable/modulated KPConv (reference models/blocks.py:235-316) is
-        # intentionally not implemented — every shipped reference config sets
-        # deformable: False (configs/train/indoor.yaml:44).  Reject instead
-        # of silently ignoring the keys.
-        if self.deformable or self.modulated:
-            raise NotImplementedError(
-                "deformable/modulated KPConv is not supported by the TPU "
-                "rebuild (unused by all shipped reference configs); set "
-                "deformable: False, modulated: False"
+        # ``deformable: True`` swaps every resnetb encoder block for its
+        # deformable variant (reference block names, models/blocks.py:
+        # 410-418; the reference itself selects deformable per-block via
+        # architecture names in configs/models.py — this key is this
+        # rebuild's shorthand for "make them all deformable").  An explicit
+        # ``architecture`` list wins.
+        if self.deformable and self.architecture_list is None:
+            arch = tuple(
+                b.replace("resnetb", "resnetb_deformable")
+                if b in ("resnetb", "resnetb_strided")
+                else b
+                for b in ARCHITECTURES[self.dataset]
+            )
+            object.__setattr__(self, "architecture_list", arch)
+        if self.modulated and not any("deform" in b for b in self.architecture):
+            raise ValueError(
+                "modulated: True requires deformable blocks (set "
+                "deformable: True or list *_deformable blocks in "
+                "'architecture')"
             )
 
     @property
     def architecture(self) -> List[str]:
+        if self.architecture_list is not None:
+            return list(self.architecture_list)
         return ARCHITECTURES[self.dataset]
+
+    def deform_level_flags(self) -> Tuple[Tuple[bool, ...], Tuple[bool, ...]]:
+        """Per-level deformable search-radius flags, replicating the
+        reference collation (datasets/dataloader.py:266-299): conv searches
+        at level ℓ widen to r·deform_radius/conv_radius when any non-last
+        block of the layer is deformable; the pool search widens when the
+        strided block itself is.  Returns (conv_flags[num_levels],
+        pool_flags[num_levels-1])."""
+        conv_flags: List[bool] = []
+        pool_flags: List[bool] = []
+        layer_blocks: List[str] = []
+        for block in self.architecture:
+            if "upsample" in block or "global" in block:
+                break
+            if "strided" in block or "pool" in block:
+                # conv check runs over the layer's NON-strided blocks minus
+                # the last one — the reference's own [:-1] quirk.
+                conv_flags.append(
+                    any("deformable" in b for b in layer_blocks[:-1])
+                )
+                pool_flags.append("deformable" in block)
+                layer_blocks = []
+            else:
+                layer_blocks.append(block)
+        # Trailing non-strided blocks form the last level.
+        conv_flags.append(any("deformable" in b for b in layer_blocks[:-1])
+                          if layer_blocks else False)
+        return tuple(conv_flags), tuple(pool_flags)
 
     def pretrain_2d_path(self) -> str:
         """2D-backbone checkpoint per init_mode (reference trainer.py:49-70)."""
@@ -254,6 +298,8 @@ def config_from_dict(flat: Dict[str, Any]) -> Config:
             continue
         if key == "nets":
             value = tuple(value)
+        elif key == "architecture":
+            key, value = "architecture_list", tuple(value)
         elif key == "budgets" and isinstance(value, dict):
             defaults = Budgets()
             value = Budgets(

@@ -120,6 +120,8 @@ class SimpleBlock(nn.Module):
     kp_seed: int = 0
     dtype: object = None
     ones_features: bool = False
+    deformable: bool = False
+    modulated: bool = False
 
     @nn.compact
     def __call__(self, x, q_pts, s_pts, neighb_inds, q_mask, neighbors_rel=None):
@@ -132,6 +134,8 @@ class SimpleBlock(nn.Module):
             seed=self.kp_seed,
             compute_dtype=self.dtype or jnp.float32,
             ones_features=self.ones_features,
+            deformable=self.deformable,
+            modulated=self.modulated,
             name="KPConv",
             **self.config_kp,
         )(q_pts, s_pts, neighb_inds, x, neighbors_rel)
@@ -151,6 +155,8 @@ class ResnetBottleneckBlock(nn.Module):
     strided: bool = False
     kp_seed: int = 0
     dtype: object = None
+    deformable: bool = False
+    modulated: bool = False
 
     @nn.compact
     def __call__(self, x, q_pts, s_pts, neighb_inds, q_mask, s_mask, neighbors_rel=None):
@@ -166,6 +172,8 @@ class ResnetBottleneckBlock(nn.Module):
             kp_extent=self.kp_extent,
             seed=self.kp_seed,
             compute_dtype=self.dtype or jnp.float32,
+            deformable=self.deformable,
+            modulated=self.modulated,
             name="KPConv",
             **self.config_kp,
         )

@@ -248,6 +248,98 @@ def kpconv(
     return out / neighbor_num[:, None].astype(out.dtype)
 
 
+def kpconv_deformable(
+    q_pts: jnp.ndarray,
+    s_pts: jnp.ndarray,
+    neighb_inds: jnp.ndarray,
+    x: jnp.ndarray,
+    kernel_points: jnp.ndarray,
+    weights: jnp.ndarray,
+    kp_extent: float,
+    offsets: jnp.ndarray,
+    modulations: jnp.ndarray | None = None,
+    influence: str = "linear",
+    aggregation: str = "sum",
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Deformable KPConv forward (reference models/blocks.py:235-372 with
+    deformable=True): per-query kernel points ``kernel_points + offsets``
+    ([Nq,K,3], offsets already scaled by KP_extent), optional per-query
+    ``modulations`` [Nq,K] multiplying the weighted features.
+
+    The reference's dynamic in-range pruning (blocks.py:292-316) keeps only
+    neighbors within KP_extent of ANY deformed kernel point and re-pads the
+    rest to shadow.  Static-shape equivalent: zero the influence rows of
+    out-of-range neighbors and exclude them from the neighbor-count
+    normalization — identical output for every influence/aggregation mode.
+
+    Dense XLA path only: per-query kernel points defeat the shared-KP
+    Pallas kernels, and deformable blocks are disabled in every shipped
+    reference config (configs/train/indoor.yaml:44) — completeness, not a
+    hot path."""
+    neighbors = pad_gather(s_pts, neighb_inds, fill_value=PAD_COORD)
+    neighbors = neighbors - q_pts[:, None, :]  # [Nq,H,3]
+
+    # [Nq,H,K] distances to the DEFORMED kernel points.
+    deformed_kp = kernel_points[None, :, :] + offsets  # [Nq,K,3]
+    diff = neighbors[:, :, None, :] - deformed_kp[:, None, :, :]
+    sq_distances = jnp.sum(diff * diff, axis=-1)
+
+    in_range = jnp.any(sq_distances < kp_extent**2, axis=2)  # [Nq,H]
+
+    if influence == "constant":
+        all_weights = jnp.ones_like(sq_distances)
+    elif influence == "linear":
+        all_weights = jnp.maximum(1.0 - jnp.sqrt(sq_distances) / kp_extent, 0.0)
+    elif influence == "gaussian":
+        sigma = kp_extent * 0.3
+        all_weights = jnp.exp(-sq_distances / (2.0 * sigma**2 + 1e-9))
+    else:
+        raise ValueError(f"Unknown KP influence: {influence}")
+
+    if aggregation == "closest":
+        one_hot = jax.nn.one_hot(jnp.argmin(sq_distances, axis=2), kernel_points.shape[0])
+        all_weights = all_weights * one_hot
+    elif aggregation != "sum":
+        raise ValueError(f"Unknown aggregation mode: {aggregation}")
+
+    # Out-of-range neighbors become shadow in the reference; mask them out.
+    all_weights = all_weights * in_range[:, :, None].astype(all_weights.dtype)
+
+    neighb_x = pad_gather(x, neighb_inds, fill_value=0.0)  # [Nq,H,Cin]
+
+    k_count = kernel_points.shape[0]
+    neighb_x_c = neighb_x.astype(compute_dtype)
+    all_weights_c = all_weights.astype(compute_dtype)
+    weighted = jnp.stack(
+        [
+            jnp.sum(
+                all_weights_c[:, :, k][:, :, None] * neighb_x_c,
+                axis=1,
+                dtype=jnp.float32,
+            )
+            for k in range(k_count)
+        ],
+        axis=1,
+    )  # [Nq,K,Cin] f32
+
+    if modulations is not None:
+        weighted = weighted * modulations[:, :, None].astype(weighted.dtype)
+
+    out = jnp.matmul(
+        weighted.astype(compute_dtype).reshape(weighted.shape[0], -1),
+        weights.astype(compute_dtype).reshape(-1, weights.shape[-1]),
+        preferred_element_type=jnp.float32,
+    )
+
+    # Normalization over the PRUNED neighbor set (blocks.py:292-316 +
+    # 369-372: shadow-replaced rows gather zero features, so the count sees
+    # only in-range real neighbors).
+    feat_sum = jnp.sum(neighb_x, axis=-1) * in_range.astype(neighb_x.dtype)
+    neighbor_num = jnp.maximum(jnp.sum(feat_sum > 0.0, axis=-1), 1)
+    return out / neighbor_num[:, None].astype(out.dtype)
+
+
 class KPConv(nn.Module):
     """Linen wrapper; applies over a leading cloud axis via vmap.
 
@@ -268,6 +360,8 @@ class KPConv(nn.Module):
     compute_dtype: object = jnp.float32
     ones_features: bool = False
     impl: str = "xla"
+    deformable: bool = False
+    modulated: bool = False
 
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb_inds, x, neighbors_rel=None,
@@ -287,6 +381,63 @@ class KPConv(nn.Module):
             _kaiming_u5_torch3d,
             (self.num_kernel_points, self.in_channels, self.out_channels),
         )
+
+        if self.deformable:
+            # Offset generation (reference blocks.py:179-199, 235-260): a
+            # rigid sub-KPConv over the SAME inputs predicts per-query
+            # kernel-point offsets (3K channels; +K modulation logits when
+            # modulated), plus a zero-init bias.  The sub-conv draws its
+            # own kernel disposition, exactly like the reference's nested
+            # KPConv construction.
+            k = self.num_kernel_points
+            offset_dim = (3 + 1) * k if self.modulated else 3 * k
+            offset_feats = KPConv(
+                in_channels=self.in_channels,
+                out_channels=offset_dim,
+                radius=self.radius,
+                kp_extent=self.kp_extent,
+                num_kernel_points=k,
+                influence=self.influence,
+                aggregation=self.aggregation,
+                fixed=self.fixed,
+                seed=self.seed + 7919,  # independent disposition
+                compute_dtype=self.compute_dtype,
+                ones_features=self.ones_features,
+                impl=self.impl,
+                name="offset_conv",
+            )(q_pts, s_pts, neighb_inds, x, neighbors_rel)
+            offset_bias = self.param(
+                "offset_bias", nn.initializers.zeros, (offset_dim,)
+            )
+            offset_feats = offset_feats + offset_bias
+            unscaled = offset_feats[..., : 3 * k].reshape(*offset_feats.shape[:-1], k, 3)
+            offsets = unscaled * self.kp_extent  # (blocks.py:258-260)
+            modulations = (
+                2.0 * jax.nn.sigmoid(offset_feats[..., 3 * k:])
+                if self.modulated
+                else None
+            )
+
+            def deform_one(q, s, n, f, off, mod):
+                return kpconv_deformable(
+                    q, s, n, f, kernel_points, weights, self.kp_extent,
+                    off, mod, self.influence, self.aggregation,
+                    compute_dtype=self.compute_dtype,
+                )
+
+            if modulations is None:
+                out = jax.vmap(lambda q, s, n, f, off: deform_one(q, s, n, f, off, None))(
+                    q_pts, s_pts, neighb_inds, x, offsets
+                )
+            else:
+                out = jax.vmap(deform_one)(
+                    q_pts, s_pts, neighb_inds, x, offsets, modulations
+                )
+            if shortcut_x is not None:
+                from pcrcg_tpu.models.blocks import max_pool
+
+                return out, max_pool(shortcut_x, neighb_inds)
+            return out
 
         def conv_one(q, s, n, f, rel=None, sx=None):
             return kpconv(

@@ -45,6 +45,7 @@ class BlockPlan:
     radius: float
     strided: bool
     kp_seed: int
+    deformable: bool = False  # 'deform' in the block name (blocks.py:569,635)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,7 +81,8 @@ def plan_architecture(config: Config) -> ArchitecturePlan:
         strided = "strided" in block
         kind = "simple" if "simple" in block else "resnetb"
         encoder.append(
-            BlockPlan(kind, in_dim, out_dim, layer, r, strided, kp_seed)
+            BlockPlan(kind, in_dim, out_dim, layer, r, strided, kp_seed,
+                      deformable="deform" in block)
         )
         kp_seed += 1
         in_dim = out_dim // 2 if "simple" in block else out_dim
@@ -208,6 +210,8 @@ class KPFCNN(nn.Module):
                 strided=bp.strided,
                 kp_seed=bp.kp_seed,
                 dtype=cdtype,
+                deformable=bp.deformable,
+                modulated=cfg.modulated,
                 name=f"encoder_{block_i}",
             )
             if bp.kind == "simple":

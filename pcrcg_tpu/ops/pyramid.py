@@ -48,11 +48,21 @@ def build_pyramid(
     first_subsampling_dl: float,
     conv_radius: float,
     with_overflow: bool = False,
+    deform_conv: Tuple[bool, ...] | None = None,
+    deform_pool: Tuple[bool, ...] | None = None,
+    deform_scale: float = 2.0,
 ) -> Pyramid:
     """points [2, N_0, 3], mask [2, N_0] -> Pyramid (all levels).
 
     Geometry is index bookkeeping, not part of the differentiable graph —
     the caller should treat the result as constants (we stop gradients).
+
+    ``deform_conv[ℓ]`` / ``deform_pool[ℓ]`` widen the level-ℓ conv / pool
+    search radius by ``deform_scale`` (= deform_radius/conv_radius) for
+    architectures with deformable blocks, replicating the reference
+    collation (datasets/dataloader.py:266-299); get them from
+    ``Config.deform_level_flags()``.  The subsampling grid and upsample
+    radius always use the un-widened radius, as in the reference.
 
     With ``with_overflow`` also returns ``overflow`` [num_levels-1, 2] int32:
     per strided level and cloud, #occupied voxels MINUS the level budget —
@@ -97,13 +107,15 @@ def build_pyramid(
     for level in range(num_levels):
         cap = budgets.neighbors[level]
         pts, msk = lvl_points[level], lvl_masks[level]
-        neighbors.append(search(pts, pts, msk, r, cap, chunk))
+        r_conv = r * deform_scale if (deform_conv and deform_conv[level]) else r
+        neighbors.append(search(pts, pts, msk, r_conv, cap, chunk))
         if level + 1 < num_levels:
             dl = 2.0 * r / conv_radius
             n_next = budgets.points[level + 1]
             pool_p, pool_m, n_voxels = subsample(pts, msk, dl, n_next)
             overflow.append(n_voxels - n_next)
-            pools.append(search(pool_p, pts, msk, r, cap, chunk))
+            r_pool = r * deform_scale if (deform_pool and deform_pool[level]) else r
+            pools.append(search(pool_p, pts, msk, r_pool, cap, chunk))
             # Upsample lists are consumed ONLY by closest_pool / nearest
             # upsampling, which reads the single closest coarse point
             # (reference models/blocks.py:71-83 keeps just inds[:,0]); a k=1
@@ -123,3 +135,17 @@ def build_pyramid(
     if with_overflow:
         return pyramid, jnp.stack(overflow)
     return pyramid
+
+
+def build_pyramid_cfg(cfg, points: jnp.ndarray, mask: jnp.ndarray, **kw):
+    """build_pyramid with every geometry knob taken from a Config —
+    including the deformable-architecture radius widening.  Product call
+    sites (train step, tester, CLI) should use this form."""
+    deform_conv, deform_pool = cfg.deform_level_flags()
+    if not any(deform_conv) and not any(deform_pool):
+        deform_conv = deform_pool = None
+    return build_pyramid(
+        points, mask, cfg.budgets, cfg.first_subsampling_dl, cfg.conv_radius,
+        deform_conv=deform_conv, deform_pool=deform_pool,
+        deform_scale=cfg.deform_radius / cfg.conv_radius, **kw,
+    )

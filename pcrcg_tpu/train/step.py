@@ -18,16 +18,14 @@ import jax.numpy as jnp
 from pcrcg_tpu.config import Config
 from pcrcg_tpu.data.pair import PairBatch
 from pcrcg_tpu.losses import LossInputs, metric_loss
-from pcrcg_tpu.ops.pyramid import build_pyramid
+from pcrcg_tpu.ops.pyramid import build_pyramid_cfg
 from pcrcg_tpu.train.state import TrainState
 
 
 def forward_pair(model, variables, cfg: Config, points, masks, features, images=None):
     """One pair: points [2,N,3], masks [2,N], features [2,N,Cin]; ``images``
     is the optional dict consumed by models.pcrcg.PCRCG's lift."""
-    pyramid = build_pyramid(
-        points, masks, cfg.budgets, cfg.first_subsampling_dl, cfg.conv_radius
-    )
+    pyramid = build_pyramid_cfg(cfg, points, masks)
     if images is not None:
         out = model.apply(variables, pyramid, features, images)
     else:

@@ -24,7 +24,7 @@ import numpy as np
 from pcrcg_tpu.config import Config
 from pcrcg_tpu.data.loader import PairLoader
 from pcrcg_tpu.models.pcrcg import PCRCG
-from pcrcg_tpu.ops.pyramid import build_pyramid
+from pcrcg_tpu.ops.pyramid import build_pyramid_cfg
 from pcrcg_tpu.train.checkpoints import CheckpointManager
 from pcrcg_tpu.train.state import TrainState, create_train_state
 from pcrcg_tpu.train.step import eval_step, infer_step, train_step
@@ -55,10 +55,7 @@ def init_model(cfg: Config, seed: Optional[int] = None):
     pts[:, :64] = rngp.uniform(0, 1, size=(2, 64, 3))
     msk = np.zeros((2, n0), bool)
     msk[:, :64] = True
-    pyr = build_pyramid(
-        jax.numpy.asarray(pts), jax.numpy.asarray(msk), cfg.budgets,
-        cfg.first_subsampling_dl, cfg.conv_radius,
-    )
+    pyr = build_pyramid_cfg(cfg, jax.numpy.asarray(pts), jax.numpy.asarray(msk))
     feats = np.where(msk[..., None], 1.0, 0.0).astype(np.float32)
     feats = np.tile(feats, (1, 1, cfg.in_feats_dim))
     args = (pyr, jax.numpy.asarray(feats))

@@ -1,15 +1,22 @@
 """Config validation: reference YAML surface, strict unknown keys, and the
-hard-reject of the unimplemented deformable branch."""
+deformable-architecture config surface."""
 import pytest
 
 from pcrcg_tpu.config import Config, config_from_dict, tiny_test_config
 
 
-def test_deformable_rejected():
-    with pytest.raises(NotImplementedError, match="deformable"):
-        Config(deformable=True)
-    with pytest.raises(NotImplementedError, match="deformable"):
+def test_deformable_swaps_architecture():
+    cfg = Config(deformable=True)
+    assert "resnetb_deformable" in cfg.architecture
+    assert "resnetb_deformable_strided" in cfg.architecture
+    # modulated without any deformable block is a config error
+    with pytest.raises(ValueError, match="modulated"):
         config_from_dict({"modulated": True})
+    # explicit architecture list via YAML key
+    cfg2 = config_from_dict({"architecture": ["simple", "resnetb_deformable",
+                                              "nearest_upsample", "last_unary"],
+                             "modulated": True})
+    assert cfg2.architecture[1] == "resnetb_deformable"
 
 
 def test_deformable_false_accepted():

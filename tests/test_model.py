@@ -124,3 +124,55 @@ def test_bfloat16_compute_close_to_f32(tiny_forward):
         np.asarray(out16["scores_overlap"])[m] - np.asarray(out["scores_overlap"])[m]
     )
     assert np.median(s) < 0.05
+
+
+def test_deformable_architecture_forward_and_grads(rng):
+    """deformable: True swaps resnetb blocks for deformable variants
+    (reference blocks.py:235-316 semantics): forward is finite, offsets get
+    gradients, and the pyramid widens deformable search radii
+    (dataloader.py:266-299)."""
+    from pcrcg_tpu.ops.pyramid import build_pyramid_cfg
+
+    cfg = tiny_test_config(deformable=True, modulated=True)
+    assert any("deformable" in b for b in cfg.architecture)
+    conv_f, pool_f = cfg.deform_level_flags()
+    assert pool_f == (True, True, True) and conv_f[1:] == (True, True, True)
+
+    pts, mask = make_pair(rng, 96, 80, cfg.budgets.points[0])
+    pyr = build_pyramid_cfg(cfg, pts, mask)
+    feats = jnp.ones((2, cfg.budgets.points[0], 1), jnp.float32)
+    model = KPFCNN(cfg)
+    variables = model.init(jax.random.key(0), pyr, feats)
+
+    # offset_conv params + biases exist on every deformable block
+    enc1 = variables["params"]["encoder_1"]["KPConv"]
+    assert "offset_conv" in enc1 and "offset_bias" in enc1
+
+    out = model.apply(variables, pyr, feats)
+    assert np.isfinite(np.asarray(out["feats_f"])).all()
+
+    def loss_fn(params):
+        o = model.apply({**variables, "params": params}, pyr, feats)
+        return jnp.sum(o["feats_f"] ** 2) + jnp.sum(o["scores_overlap"])
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    g = grads["encoder_1"]["KPConv"]["offset_conv"]["weights"]
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0.0
+
+
+def test_deformable_pyramid_radius_widening(rng):
+    """Deformable pool searches run at deform_radius/conv_radius x the rigid
+    radius: the widened search must find strictly more neighbors for a
+    point ring placed between the two radii."""
+    from pcrcg_tpu.ops.pyramid import build_pyramid_cfg
+
+    rigid = tiny_test_config()
+    deform = tiny_test_config(deformable=True)
+    pts, mask = make_pair(rng, 128, 128, rigid.budgets.points[0])
+    pyr_r = build_pyramid_cfg(rigid, pts, mask)
+    pyr_d = build_pyramid_cfg(deform, pts, mask)
+    n0 = rigid.budgets.points[1]
+    real_r = (pyr_r.pools[0] < pyr_r.points[0].shape[1]).sum()
+    real_d = (pyr_d.pools[0] < pyr_d.points[0].shape[1]).sum()
+    assert int(real_d) > int(real_r)

@@ -14,6 +14,7 @@ torch = pytest.importorskip("torch")
 REF = "/root/reference"
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference unavailable")
 
+import jax
 import jax.numpy as jnp
 
 from pcrcg_tpu.config import tiny_test_config
@@ -268,3 +269,66 @@ def test_resunet_matches_reference_via_importer(rng):
             )
         )[0]
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("modulated", [False, True])
+def test_deformable_kpconv_matches_reference_torch(rng, modulated):
+    """Our deformable path (offset sub-conv -> offsets/modulations ->
+    deformed-KP conv with in-range pruning semantics) vs the reference
+    KPConv(deformable=True) with copied weights (models/blocks.py:235-372)."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    cwd = os.getcwd()
+    os.chdir(REF)
+    try:
+        from models.blocks import KPConv as RefKPConv
+
+        ref_conv = RefKPConv(
+            kernel_size=15, p_dim=3, in_channels=5, out_channels=7,
+            KP_extent=1.1, radius=1.4, deformable=True, modulated=modulated,
+        )
+        # Non-zero offsets need non-zero offset weights (default init zeros
+        # the bias only; weights are kaiming — keep them but scale up so the
+        # deformation is material).
+        with torch.no_grad():
+            ref_conv.offset_bias += torch.from_numpy(
+                rng.normal(scale=0.3, size=ref_conv.offset_bias.shape).astype(np.float32)
+            )
+    finally:
+        os.chdir(cwd)
+    nq, ns, h = 21, 33, 9
+    q = rng.normal(size=(nq, 3)).astype(np.float32)
+    s = rng.normal(size=(ns, 3)).astype(np.float32)
+    neighb = rng.integers(0, ns + 1, size=(nq, h)).astype(np.int64)
+    x = rng.normal(size=(ns, 5)).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref_conv(
+            torch.from_numpy(q), torch.from_numpy(s),
+            torch.from_numpy(neighb), torch.from_numpy(x),
+        ).numpy()
+
+    from pcrcg_tpu.models.kpconv import kpconv, kpconv_deformable
+
+    k = 15
+    jq, js = jnp.asarray(q), jnp.asarray(s)
+    jn = jnp.asarray(neighb.astype(np.int32))
+    jx = jnp.asarray(x)
+    offset_feats = kpconv(
+        jq, js, jn, jx,
+        jnp.asarray(ref_conv.offset_conv.kernel_points.detach().numpy()),
+        jnp.asarray(ref_conv.offset_conv.weights.detach().numpy()),
+        1.1, "linear", "sum",
+    ) + jnp.asarray(ref_conv.offset_bias.detach().numpy())
+    unscaled = offset_feats[:, : 3 * k].reshape(nq, k, 3)
+    offsets = unscaled * 1.1
+    mods = 2.0 * jax.nn.sigmoid(offset_feats[:, 3 * k:]) if modulated else None
+    got = np.asarray(
+        kpconv_deformable(
+            jq, js, jn, jx,
+            jnp.asarray(ref_conv.kernel_points.detach().numpy()),
+            jnp.asarray(ref_conv.weights.detach().numpy()),
+            1.1, offsets, mods, "linear", "sum",
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
