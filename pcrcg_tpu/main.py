@@ -44,9 +44,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from pcrcg_tpu.config import load_config
+    from pcrcg_tpu.parallel.multihost import initialize as multihost_initialize
     from pcrcg_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
+    # Multi-host runs (COORDINATOR_ADDRESS set, or TPU-pod auto-detect):
+    # must run before any other JAX call; no-op single-process.
+    multihost_initialize()
     cfg = load_config(args.config)
     datasets = build_datasets(cfg)
 

@@ -111,20 +111,31 @@ class Trainer:
         # 'data' axis, the train state replicates, and XLA inserts the
         # gradient all-reduce over ICI inside the jitted step.
         self.mesh = None
-        if cfg.data_parallel > 1:
+        self.multihost = jax.process_count() > 1
+        if cfg.data_parallel > 1 or self.multihost:
             from pcrcg_tpu.parallel.mesh import make_mesh, replicate
 
-            n_dev = len(jax.devices())
-            if cfg.data_parallel > n_dev:
-                raise ValueError(
-                    f"data_parallel={cfg.data_parallel} but only {n_dev} devices"
-                )
-            if cfg.batch_size % cfg.data_parallel != 0:
+            if self.multihost:
+                # Multi-host: the mesh spans every chip of every process;
+                # each host loads only its slice of the global batch
+                # (parallel/multihost.py), DCN carries only the gradient
+                # all-reduce.
+                from pcrcg_tpu.parallel.multihost import global_data_mesh
+
+                self.mesh = global_data_mesh()
+            else:
+                n_dev = len(jax.devices())
+                if cfg.data_parallel > n_dev:
+                    raise ValueError(
+                        f"data_parallel={cfg.data_parallel} but only {n_dev} devices"
+                    )
+                self.mesh = make_mesh(n_data=cfg.data_parallel)
+            n_shards = self.mesh.devices.size if self.multihost else cfg.data_parallel
+            if cfg.batch_size % n_shards != 0:
                 raise ValueError(
                     f"batch_size={cfg.batch_size} must be a multiple of "
-                    f"data_parallel={cfg.data_parallel}"
+                    f"the data-parallel shard count {n_shards}"
                 )
-            self.mesh = make_mesh(n_data=cfg.data_parallel)
             self.state = replicate(self.state, self.mesh)
         self.ckpt = CheckpointManager(os.path.join(cfg.exp_dir, "checkpoints"))
         self.start_epoch = 0
@@ -187,7 +198,13 @@ class Trainer:
         timer = Stopwatch()
         for c_iter, (batch, images) in enumerate(loader):
             timer.tic()
-            if self.mesh is not None:
+            if self.mesh is not None and self.multihost:
+                from pcrcg_tpu.parallel.multihost import global_pair_batch
+
+                g = batch.batch_size * jax.process_count()
+                batch = global_pair_batch(batch, self.mesh, g)
+                images = global_pair_batch(images, self.mesh, g) if images else None
+            elif self.mesh is not None:
                 from pcrcg_tpu.parallel.mesh import shard_images, shard_pair_batch
 
                 images = shard_images(images, self.mesh, batch.batch_size)

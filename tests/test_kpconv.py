@@ -193,3 +193,51 @@ def test_fused_merged_shortcut_matches_max_pool(rng):
     want_sc = sx_ext[neighb].max(axis=1)
     np.testing.assert_allclose(np.asarray(out), want_out, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(shortcut), want_sc, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_merged_gradients_match_xla(rng):
+    """Merged-gather custom VJP (strided-block path: conv + shortcut from
+    one gather) vs autodiff of the XLA path, grads through BOTH outputs."""
+    import jax
+
+    nq, ns, h, k, cin, cout, c2 = 24, 19, 9, 15, 10, 13, 6
+    q = rng.normal(size=(nq, 3)).astype(np.float32)
+    s = rng.normal(size=(ns, 3)).astype(np.float32)
+    neighb = rng.integers(0, ns + 1, size=(nq, h)).astype(np.int32)
+    x = rng.normal(size=(ns, cin)).astype(np.float32)
+    sx = rng.normal(size=(ns, c2)).astype(np.float32)
+    kp = rng.normal(scale=0.5, size=(k, 3)).astype(np.float32)
+    w = rng.normal(size=(k, cin, cout)).astype(np.float32)
+    cot = rng.normal(size=(nq, cout)).astype(np.float32)
+    cot2 = rng.normal(size=(nq, c2)).astype(np.float32)
+
+    def loss(impl, interpret):
+        def f(xx, ww, sxx):
+            if impl == "fused":
+                out, sc = kpconv(
+                    jnp.asarray(q), jnp.asarray(s), jnp.asarray(neighb), xx,
+                    jnp.asarray(kp), ww, 1.2, "linear", "sum",
+                    impl=impl, interpret=interpret, shortcut_x=sxx,
+                )
+            else:
+                # function-level XLA path ignores shortcut_x (the module
+                # layer max-pools separately); replicate that here.
+                from pcrcg_tpu.ops.masked import pad_gather
+
+                out = kpconv(
+                    jnp.asarray(q), jnp.asarray(s), jnp.asarray(neighb), xx,
+                    jnp.asarray(kp), ww, 1.2, "linear", "sum",
+                    impl=impl, interpret=interpret,
+                )
+                sc = jnp.max(pad_gather(sxx, jnp.asarray(neighb), 0.0), axis=1)
+            return jnp.sum(out * jnp.asarray(cot)) + jnp.sum(sc * jnp.asarray(cot2))
+
+        return jax.grad(f, argnums=(0, 1, 2))(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(sx)
+        )
+
+    dx_ref, dw_ref, dsx_ref = loss("xla", False)
+    dx_got, dw_got, dsx_got = loss("fused", True)
+    np.testing.assert_allclose(np.asarray(dx_got), np.asarray(dx_ref), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw_got), np.asarray(dw_ref), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dsx_got), np.asarray(dsx_ref), rtol=1e-3, atol=1e-4)

@@ -84,3 +84,22 @@ def test_data_model_parallel_train_step():
     _, stats = train_step(model, cfg, state_r, sharded, jax.random.key(1))
     _, stats_1 = train_step(model, cfg, state, batch, jax.random.key(1))
     np.testing.assert_allclose(float(stats["total"]), float(stats_1["total"]), rtol=1e-4)
+
+
+def test_multihost_helpers_single_process():
+    """Single-process degenerate paths: initialize is a no-op, the global
+    mesh covers all local devices, the host slice is the whole batch, and
+    global_pair_batch shards on 'data'."""
+    import jax
+    from pcrcg_tpu.parallel import multihost
+
+    multihost.initialize()  # no coordinator configured -> no-op
+    mesh = multihost.global_data_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert multihost.host_local_batch_slice(8) == slice(0, 8)
+
+    x = {"a": np.zeros((8, 4), np.float32), "b": None}
+    out = multihost.global_pair_batch(x, mesh, 8)
+    assert out["b"] is None
+    shard_counts = {s.device for s in out["a"].addressable_shards}
+    assert len(shard_counts) == len(jax.devices())
