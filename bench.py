@@ -146,12 +146,20 @@ def main(batch_size: int = None):
     float(jnp.sum(T))
 
     iters = 10
+    # Pipeline depth: keep a bounded number of pairs in flight and read
+    # back result i-depth while pair i computes — the serving pattern
+    # (dispatch is async; the readback is the completion barrier on this
+    # runtime, where block_until_ready returns early).  Depth 0 = fully
+    # serialized, paying the ~28 ms dispatch+readback RTT per pair.
+    depth = int(os.environ.get("PCRCG_BENCH_PIPELINE", "2"))
+    inflight = []
     t0 = time.perf_counter()
     for i in range(iters):
         T, fit = register(*args, jax.random.fold_in(key, i))
-        # Consume each result on host (the serving pattern); also the only
-        # reliable completion barrier on this runtime — block_until_ready
-        # returns early under the tunnel plugin.
+        inflight.append(T)
+        if len(inflight) > depth:
+            float(jnp.sum(inflight.pop(0)))
+    for T in inflight:
         float(jnp.sum(T))
     dt = time.perf_counter() - t0
     pairs_per_sec = iters * batch_size / dt

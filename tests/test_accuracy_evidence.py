@@ -1,0 +1,73 @@
+"""Accuracy-evidence harness (scripts/train_synthetic_register.py): GT
+math of the synthetic pair generator, the protocol-RMSE oracle, and the
+committed metric trajectory showing a from-scratch training run driving
+on-device RANSAC to the 3DMatch recall criterion (reference
+lib/benchmark.py:213-243)."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from train_synthetic_register import (  # noqa: E402
+    make_synthetic_pair,
+    protocol_rmse,
+    random_rotation,
+)
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_random_rotation_respects_cap(rng):
+    for _ in range(20):
+        r = random_rotation(np.random.default_rng(rng.integers(1 << 30)), max_deg=45.0)
+        # Proper rotation
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(r) > 0.99
+        angle = np.degrees(np.arccos(np.clip((np.trace(r) - 1) / 2, -1, 1)))
+        assert angle <= 45.0 + 1e-3
+
+
+def test_synthetic_pair_gt_consistency():
+    """Points in the crop overlap must satisfy rot @ p + trans == tgt point
+    (noise=0); the protocol RMSE of the GT transform itself is 0."""
+    rng = np.random.default_rng(3)
+    cloud = rng.uniform(0, 2, size=(5000, 3)).astype(np.float32)
+    src, tgt, rot, trans = make_synthetic_pair(cloud, rng, noise=0.0, max_rot_deg=45)
+    # The tgt crop is a moved subset of the cloud; verify a matching subset
+    # maps exactly: every tgt point must equal rot @ c + trans for some
+    # original cloud point c.
+    back = (tgt - trans) @ rot  # inverse rotation
+    d = np.linalg.norm(back[:, None, :3] - cloud[None, : 1, :], axis=-1)
+    # cheaper: check that back points are a subset of cloud via sorting
+    from scipy.spatial import cKDTree
+
+    dist, _ = cKDTree(cloud).query(back, k=1)
+    assert float(np.max(dist)) < 1e-5
+
+    t_gt = np.eye(4, dtype=np.float32)
+    t_gt[:3, :3] = rot
+    t_gt[:3, 3] = trans
+    assert protocol_rmse(t_gt, rot, trans, src) < 1e-5
+    # A 0.3 m translation error shows up as ~0.3 RMSE.
+    t_bad = t_gt.copy()
+    t_bad[:3, 3] += np.array([0.3, 0, 0], np.float32)
+    assert abs(protocol_rmse(t_bad, rot, trans, src) - 0.3) < 1e-4
+
+
+def test_committed_evidence_trajectory():
+    """The committed trajectory must show training progress culminating in
+    registration recall at the protocol threshold (>= 3/4 held-out pairs
+    within RMSE 0.2)."""
+    path = os.path.join(REPO, "perf_runs", "accuracy_evidence.jsonl")
+    if not os.path.exists(path):
+        pytest.skip("no committed evidence trajectory")
+    events = [json.loads(line) for line in open(path)]
+    evals = [e for e in events if e.get("event") in ("eval", "final")]
+    assert evals, "trajectory has no eval records"
+    assert evals[0]["recall"] <= 0.25, "untrained model should not register"
+    best = max(e["recall"] for e in evals)
+    assert best >= 0.75, f"training never reached recall >= 0.75 (best {best})"
