@@ -191,6 +191,11 @@ class Config:
     # 'xla', 'reduce' (Pallas influence+reduce), 'fused' (Pallas
     # influence+reduce+matmul, ops/kpconv_fused.py).
     kpconv_impl: str = "auto"
+    # Candidate-DMA KPConv kernel (ops/kpconv_tiled.py) on the fused TPU
+    # path.  Pallas scalar-prefetch grids cannot be vmap-batched, so
+    # mesh-sharded (GSPMD dp x model) training disables it and keeps the
+    # merged-gather kernels; single-device runs keep it on.
+    kpconv_tiled: bool = True
     seed: int = 42
     # Explicit architecture block-name list (reference configs/models.py
     # lists, including *_deformable variants); None -> the per-dataset

@@ -124,7 +124,8 @@ class SimpleBlock(nn.Module):
     modulated: bool = False
 
     @nn.compact
-    def __call__(self, x, q_pts, s_pts, neighb_inds, q_mask, neighbors_rel=None):
+    def __call__(self, x, q_pts, s_pts, neighb_inds, q_mask, neighbors_rel=None,
+                 tiled_meta=None):
         half = self.out_dim // 2
         x = KPConv(
             in_channels=self.in_dim,
@@ -138,7 +139,7 @@ class SimpleBlock(nn.Module):
             modulated=self.modulated,
             name="KPConv",
             **self.config_kp,
-        )(q_pts, s_pts, neighb_inds, x, neighbors_rel)
+        )(q_pts, s_pts, neighb_inds, x, neighbors_rel, tiled_meta=tiled_meta)
         x = NormBlock(half, name="norm")(x, q_mask)
         return nn.leaky_relu(x, 0.1)
 
@@ -159,7 +160,8 @@ class ResnetBottleneckBlock(nn.Module):
     modulated: bool = False
 
     @nn.compact
-    def __call__(self, x, q_pts, s_pts, neighb_inds, q_mask, s_mask, neighbors_rel=None):
+    def __call__(self, x, q_pts, s_pts, neighb_inds, q_mask, s_mask, neighbors_rel=None,
+                 tiled_meta=None):
         quarter = self.out_dim // 4
         if self.in_dim != quarter:
             y = UnaryBlock(quarter, name="unary1", dtype=self.dtype)(x, s_mask)
@@ -184,7 +186,8 @@ class ResnetBottleneckBlock(nn.Module):
             y, shortcut = conv(q_pts, s_pts, neighb_inds, y, neighbors_rel,
                                shortcut_x=x)
         else:
-            y = conv(q_pts, s_pts, neighb_inds, y, neighbors_rel)
+            y = conv(q_pts, s_pts, neighb_inds, y, neighbors_rel,
+                     tiled_meta=tiled_meta)
             shortcut = x
         y = NormBlock(quarter, name="norm_conv")(y, q_mask)
         y = nn.leaky_relu(y, 0.1)

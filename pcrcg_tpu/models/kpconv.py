@@ -363,13 +363,20 @@ class KPConv(nn.Module):
     deformable: bool = False
     modulated: bool = False
 
+    tiled_meta_tile: int = 128
+
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb_inds, x, neighbors_rel=None,
-                 shortcut_x=None):
+                 shortcut_x=None, tiled_meta=None):
         """q_pts [B,Nq,3], s_pts [B,Ns,3], neighb_inds [B,Nq,H], x [B,Ns,C],
         optional shared neighbors_rel [B,Nq,H,3]; ``shortcut_x`` [B,Ns,C2]
         additionally returns the max-pooled shortcut features (fused path:
-        from the same gather; otherwise a plain max_pool)."""
+        from the same gather; otherwise a plain max_pool).
+
+        ``tiled_meta`` = (lidx [B, Gp·128, H], tiles [B, Gp, M]) from the
+        tile-pruned search routes the conv through the candidate-DMA
+        kernel (ops/kpconv_tiled.py — zero HBM row gathers) on the fused
+        TPU path."""
         kp = layer_kernel_points(
             self.radius, self.num_kernel_points, fixed=self.fixed, seed=self.seed
         )
@@ -447,6 +454,30 @@ class KPConv(nn.Module):
                 ones_features=self.ones_features, impl=self.impl,
                 shortcut_x=sx,
             )
+
+        if (
+            tiled_meta is not None
+            and shortcut_x is None
+            and resolve_kpconv_impl(self.impl) == "fused"
+            and jax.default_backend() == "tpu"
+        ):
+            from pcrcg_tpu.ops.kpconv_tiled import kpconv_tiled_ad
+
+            lidx, tiles = tiled_meta
+            feats = (
+                jnp.ones((x.shape[0], x.shape[1], 1), jnp.float32)
+                if self.ones_features else x.astype(jnp.float32)
+            )
+            outs = []
+            for b in range(q_pts.shape[0]):  # explicit loop: scalar-prefetch
+                out_b, nn_b = kpconv_tiled_ad(  # grids don't vmap
+                    q_pts[b], s_pts[b], feats[b], lidx[b], tiles[b],
+                    neighb_inds[b], kernel_points, weights,
+                    float(self.kp_extent), self.influence, self.aggregation,
+                    tile=self.tiled_meta_tile,
+                )
+                outs.append(out_b / nn_b[:, None].astype(out_b.dtype))
+            return jnp.stack(outs)
 
         if shortcut_x is not None and resolve_kpconv_impl(self.impl) == "fused" \
                 and (jax.default_backend() == "tpu"):

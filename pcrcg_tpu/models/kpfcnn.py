@@ -148,6 +148,7 @@ class KPFCNN(nn.Module):
             aggregation=cfg.aggregation_mode,
             fixed=cfg.fixed_kernel_points,
             impl=resolve_kpconv_impl(cfg.kpconv_impl),
+            tiled_meta_tile=cfg.budgets.search_tile,
         )
         extent_ratio = cfg.KP_extent / cfg.conv_radius
 
@@ -171,6 +172,14 @@ class KPFCNN(nn.Module):
 
             return jax.lax.stop_gradient(jax.vmap(one)(q_pts, s_pts, neighb))
 
+        def conv_tiled_meta(lvl):
+            """Tile-local metadata for the candidate-DMA kernel: fused TPU
+            path, non-deformable, tiled search available at the level."""
+            if not fused_path or not cfg.kpconv_tiled:
+                return None
+            locals_ = getattr(pyramid, "conv_local", ())
+            return locals_[lvl] if lvl < len(locals_) else None
+
         conv_rel = {}
         pool_rel = {}
         for bp in plan.encoder:
@@ -182,9 +191,14 @@ class KPFCNN(nn.Module):
                     pyramid.points[lvl + 1], pyramid.points[lvl], pyramid.pools[lvl]
                 )
             if not bp.strided and lvl not in conv_rel:
-                conv_rel[lvl] = rel_coords(
-                    pyramid.points[lvl], pyramid.points[lvl], pyramid.neighbors[lvl]
-                )
+                if conv_tiled_meta(lvl) is not None and not bp.deformable:
+                    # Candidate-DMA kernel: rel comes from the DMA'd tiles
+                    # in VMEM; a shared rel gather would be pure waste.
+                    conv_rel[lvl] = None
+                else:
+                    conv_rel[lvl] = rel_coords(
+                        pyramid.points[lvl], pyramid.points[lvl], pyramid.neighbors[lvl]
+                    )
 
         x = features
         skip_x = []
@@ -214,6 +228,10 @@ class KPFCNN(nn.Module):
                 modulated=cfg.modulated,
                 name=f"encoder_{block_i}",
             )
+            tmeta = (
+                conv_tiled_meta(lvl)
+                if (not bp.strided and not bp.deformable) else None
+            )
             if bp.kind == "simple":
                 # Block 0 over the ones-column input (in_feats_dim 1, no 2D
                 # branch): neighbor features == validity bits; skip the
@@ -222,11 +240,12 @@ class KPFCNN(nn.Module):
                     block_i == 0 and cfg.in_feats_dim == 1 and not cfg.image_feature
                 )
                 x = SimpleBlock(**common, ones_features=ones_fast)(
-                    x, q_pts, s_pts, neighb, q_mask, rel
+                    x, q_pts, s_pts, neighb, q_mask, rel, tiled_meta=tmeta
                 )
             else:
                 x = ResnetBottleneckBlock(**common)(
-                    x, q_pts, s_pts, neighb, q_mask, s_mask, rel
+                    x, q_pts, s_pts, neighb, q_mask, s_mask, rel,
+                    tiled_meta=tmeta,
                 )
 
         # 2. bottleneck projection (reference 'bottle' 1×1 conv, :107)

@@ -1,0 +1,438 @@
+"""Pallas TPU kernel: candidate-DMA KPConv — no HBM row gathers at all.
+
+The row gathers feeding KPConv are latency-bound (~6 ns/row regardless of
+width — PERF.md): at level 0 a single [2.1M, 64] neighbor-feature gather
+costs ~12.5 ms and the forward runs several of them.  But the tile-pruned
+search (ops/tiled_search.py) already proves that each 128-query group's
+neighbors live inside ``m_tiles`` Z-order support tiles of 128 points.
+This kernel exploits that:
+
+  per query group g (grid axis):
+    1. DMA the group's m_tiles candidate tiles from HBM into VMEM —
+       contiguous 2-D block copies, bandwidth-bound (~160 MB per level-0
+       conv, ~0.1 ms at HBM speed, vs ~25 ms of row gathers);
+    2. materialize the gathered neighbor rows IN VMEM with one-hot MXU
+       matmuls: E[h][cand, q] = (lidx[q, h] == cand); nx_h = cand @ E.
+       E is exact 0/1, so the matmul IS the gather — each output column
+       has exactly one contributing candidate;
+    3. run the standard fused KPConv math (influence + K reductions +
+       weight contraction, ops/kpconv_fused.py) on the VMEM-resident rows.
+
+Precision: candidate COORDS stay f32 (geometry decides influences);
+candidate FEATURES go through the one-hot matmul as a bf16 hi/lo split
+(hi = bf16(x), lo = bf16(x - hi)), recombined in f32 — exact to ~2^-16
+relative, so results match the f32 XLA path to normal test tolerances
+while the matmuls run at bf16 MXU rate.
+
+Inputs come straight from ``radius_search_tiled(..., return_local=True)``:
+``lidx`` [Nq, H] candidate-local neighbor positions (shadow = M·tile) and
+``tiles`` [G, M] candidate tile ids per 128-query group.  Shadow columns
+select nothing (all-zero E column): zero features, rel = -q — exactly the
+reference's zero-shadow convention (models/blocks.py:269,348).
+
+Backward: the forward's VJP recomputes nothing — it reuses the merged
+backward kernel (_bwd_from_planes) on rel planes + nx saved by a
+residual-emitting forward variant, then scatter-adds dnx onto the support
+rows with the GLOBAL neighbor indices (segment_sum — the same op the XLA
+path's gather VJP produces).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pcrcg_tpu.ops.kpconv_fused import _compute_wgt, _pad_to, _bwd_from_planes
+
+_T = 128  # queries per group (fixed by the tiled search's group size)
+
+
+def _build_kernel(
+    # scalar-prefetch
+    tiles_ref,  # [G, M] int32 (SMEM)
+    # inputs
+    q3_ref,  # [4, T] f32 — query x/y/z rows (+pad row)
+    lidx_ref,  # [1, H, T] int32 — candidate-local ids (shadow = M*tile)
+    supa_ref,  # [2C4, Ns_pad] bf16 in ANY — hi/lo rows of [xyz|pad|feats]
+    kp_ref,  # [K, 3] f32
+    w_ref,  # [K, C8, D] f32
+    # outputs
+    out_ref,  # [T, D]
+    nn_ref,  # [T, 1]
+    nx_out_ref,  # [H, C8, T] f32 (residuals; dummy [1,1,1] when unused)
+    rx_out_ref,  # [H, T] (residuals)
+    ry_out_ref,
+    rz_out_ref,
+    # scratch
+    canda_ref,  # [2C4, CAND] bf16
+    nx_ref,  # [H, C8, T] f32
+    rxyz_ref,  # [3, H, T] f32
+    wgt_ref,  # [K, H, T] f32
+    acc_ref,  # [K, C8, T] f32
+    sem,  # DMA semaphore
+    *,
+    kp_extent: float,
+    influence: str,
+    aggregation: str,
+    k_count: int,
+    m_tiles: int,
+    tile: int,
+    h_count: int,
+    save_residuals: bool,
+):
+    g = pl.program_id(0)
+    cand = m_tiles * tile
+
+    # 1. DMA the candidate tiles.  supa is stored TILE-MAJOR
+    # ([n_tiles, rows, tile]) so each tile is ONE contiguous HBM burst —
+    # slicing a row-major [rows, Ns] array at 128 lanes would shatter every
+    # copy into `rows` 256-byte segments and strangle the DMA engine.
+    copies = []
+    for m in range(m_tiles):
+        t_id = tiles_ref[g, m]
+        cp = pltpu.make_async_copy(
+            supa_ref.at[t_id],
+            canda_ref.at[:, pl.ds(m * tile, tile)],
+            sem,
+        )
+        cp.start()
+        copies.append(cp)
+    for cp in copies:
+        cp.wait()
+
+    # 2. Materialize neighbor rows via one-hot matmuls (the E matmul IS the
+    # gather: exactly one 1 per column).  Coords AND features ride the same
+    # bf16 hi/lo array: one dot per h, exact to ~2^-24 after recombination.
+    canda = canda_ref[:]  # [rows_pad, CAND] bf16 (junk pad rows at bottom)
+    c8 = nx_ref.shape[1]
+    c4 = 8 + c8
+    # Process HB h-steps per matmul: one [rows, CAND] @ [CAND, HB*T] dot
+    # amortizes instruction overhead ~HB-fold vs per-h dots.
+    hb = 8
+    for h0 in range(0, h_count, hb):
+        hb_cur = min(hb, h_count - h0)
+        lblk = lidx_ref[0, h0 : h0 + hb_cur].reshape(hb_cur * _T)  # [HB*T]
+        # column j of E selects candidate lidx[h0 + j//T, j%T]
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (cand, hb_cur * _T), 0)
+        ef = (row_iota == lblk[None, :]).astype(jnp.bfloat16)
+        nxa = jax.lax.dot_general(
+            canda, ef, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [rows_pad, HB*T]
+        full = nxa[:c4] + nxa[c4 : 2 * c4]
+        limb3 = nxa[2 * c4 : 2 * c4 + 8]
+        for j in range(hb_cur):
+            h = h0 + j
+            sl = slice(j * _T, (j + 1) * _T)
+            rxyz_ref[0, h] = full[0, sl] + limb3[0, sl] - q3_ref[0]
+            rxyz_ref[1, h] = full[1, sl] + limb3[1, sl] - q3_ref[1]
+            rxyz_ref[2, h] = full[2, sl] + limb3[2, sl] - q3_ref[2]
+            nx_ref[h] = full[8:, sl]
+
+    # 3. Standard fused KPConv math on the VMEM-resident rows.
+    _compute_wgt(
+        rxyz_ref[0], rxyz_ref[1], rxyz_ref[2], kp_ref, wgt_ref,
+        kp_extent=kp_extent, influence=influence,
+        aggregation=aggregation, k_count=k_count,
+    )
+
+    for k in range(k_count):
+        acc_ref[k] = jnp.zeros_like(acc_ref[0])
+
+    def h_step(h, count):
+        nxh = nx_ref[h]  # [C8, T]
+        for k in range(k_count):
+            acc_ref[k] += wgt_ref[k, h][None, :] * nxh
+        # neighbor-count heuristic (reference blocks.py:369-372)
+        return count + (jnp.sum(nxh, axis=0) > 0.0).astype(jnp.float32)
+
+    count = jax.lax.fori_loop(
+        0, h_count, h_step, jnp.zeros((_T,), jnp.float32)
+    )
+    nn_ref[:] = jnp.maximum(count, 1.0)[:, None]
+
+    out = jax.lax.dot_general(
+        acc_ref[0], w_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    for k in range(1, k_count):
+        out += jax.lax.dot_general(
+            acc_ref[k], w_ref[k], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[:] = out.astype(out_ref.dtype)
+
+    if save_residuals:
+        nx_out_ref[:] = nx_ref[:]
+        rx_out_ref[:] = rxyz_ref[0]
+        ry_out_ref[:] = rxyz_ref[1]
+        rz_out_ref[:] = rxyz_ref[2]
+
+
+def _split_hi_lo(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 [C, N] -> bf16 [2C, N] (hi rows then lo rows).
+
+    The split uses BIT MASKING, not dtype round-trips: XLA's
+    excess-precision simplifier folds ``x - f32(bf16(x))`` to zero inside
+    jit, silently destroying the lo correction (observed on the axon TPU
+    backend).  Masking the low 16 mantissa bits gives an exactly
+    bf16-representable hi, an exact f32 lo = x - hi, and survives every
+    compiler simplification."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    lo = x - hi_f32
+    return jnp.concatenate(
+        [hi_f32.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)], axis=0
+    )
+
+
+def _rne_bf16_value(x: jnp.ndarray) -> jnp.ndarray:
+    """bf16 round-to-nearest-even of f32 ``x``, returned as f32 — computed
+    in INTEGER math so no convert-folding pass can replace it with ``x``
+    (finite inputs only)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    rounded = (bits + jnp.uint32(0x7FFF) + ((bits >> 16) & jnp.uint32(1))) & jnp.uint32(
+        0xFFFF0000
+    )
+    return jax.lax.bitcast_convert_type(rounded, jnp.float32)
+
+
+def _third_limb(x: jnp.ndarray) -> jnp.ndarray:
+    """The residual beyond the 2-limb split: x - hi - bf16(lo), as bf16.
+    hi+lo recombination is ~2^-16 relative; adding this limb reaches
+    ~2^-24 (f32-exact for practical purposes) — used for the COORD rows,
+    whose precision drives the influence weights."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    lo = x - hi_f32
+    # bf16-rounded lo, exactly as _split_hi_lo stores it (same RNE), but
+    # via integer math so the subtraction below cannot be folded away.
+    return (lo - _rne_bf16_value(lo)).astype(jnp.bfloat16)
+
+
+def kpconv_tiled(
+    q_pts: jnp.ndarray,  # [Nq, 3]
+    s_pts: jnp.ndarray,  # [Ns, 3] (Z-order sorted — same order the search saw)
+    s_feats: jnp.ndarray,  # [Ns, C] (or [Ns,1] ones)
+    lidx: jnp.ndarray,  # [G*T, H] from radius_search_tiled(return_local=True)
+    tiles: jnp.ndarray,  # [G, M]
+    kernel_points: jnp.ndarray,  # [K, 3]
+    weights: jnp.ndarray,  # [K, C, D]
+    kp_extent: float,
+    influence: str = "linear",
+    aggregation: str = "sum",
+    interpret: bool = False,
+    save_residuals: bool = False,
+    tile: int = 128,
+):
+    """Candidate-DMA fused KPConv forward.  Returns (out [Nq, D] BEFORE the
+    neighbor-count division, nn [Nq] f32); with ``save_residuals`` also
+    (nx [H, C8, Gp*T], rel planes 3x[H, Gp*T]) for the backward."""
+    nq = q_pts.shape[0]
+    ns = s_pts.shape[0]
+    k_count, c_in, d = weights.shape
+    h_count = lidx.shape[1]
+    m_tiles = tiles.shape[1]
+    g_count = tiles.shape[0]
+
+    # Support rows, padded to the search's tile grid: [xyz | 5 pad rows |
+    # features], all in ONE bf16 hi/lo array (see _build_kernel).
+    ns_pad = ((ns + tile - 1) // tile) * tile
+    c8 = max(8, ((c_in + 7) // 8) * 8)
+    base = jnp.zeros((8 + c8, ns_pad), jnp.float32)
+    base = base.at[:3, :ns].set(s_pts.T.astype(jnp.float32))
+    base = base.at[3, :ns].set(1.0)
+    base = base.at[8 : 8 + c_in, :ns].set(s_feats.T.astype(jnp.float32))
+    # [2*(8+c8) + 8, Ns_pad] bf16: hi rows, lo rows, then a third limb for
+    # the coord rows (geometry must stay ~f32-exact).
+    supa = jnp.concatenate([_split_hi_lo(base), _third_limb(base[:8])], axis=0)
+    # Tile-major layout: [n_tiles, rows, tile] — one contiguous burst/tile.
+    rows = supa.shape[0]
+    rows_pad = ((rows + 15) // 16) * 16  # bf16 sublane tiling
+    if rows != rows_pad:
+        supa = jnp.pad(supa, ((0, rows_pad - rows), (0, 0)))
+    supa = supa.reshape(rows_pad, ns_pad // tile, tile).transpose(1, 0, 2)
+
+    w8 = weights
+    if c_in != c8:
+        w8 = jnp.pad(weights, ((0, 0), (0, c8 - c_in), (0, 0)))
+    d_pad = max(128, ((d + 127) // 128) * 128)
+    if d != d_pad:
+        w8 = jnp.pad(w8, ((0, 0), (0, 0), (0, d_pad - d)))
+
+    nq_pad = g_count * _T
+    q3 = jnp.zeros((4, nq_pad), jnp.float32)
+    q3 = q3.at[:3, :nq].set(q_pts.T)
+    lidx_t = lidx.reshape(g_count, _T, h_count).transpose(0, 2, 1)  # [G, H, T]
+
+    kernel = functools.partial(
+        _build_kernel,
+        kp_extent=float(kp_extent),
+        influence=influence,
+        aggregation=aggregation,
+        k_count=k_count,
+        m_tiles=m_tiles,
+        tile=tile,
+        h_count=h_count,
+        save_residuals=save_residuals,
+    )
+    cand = m_tiles * tile
+    res_shape = (h_count, c8, nq_pad) if save_residuals else (1, 1, 1)
+    plane_shape = (h_count, nq_pad) if save_residuals else (1, 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g_count,),
+        in_specs=[
+            pl.BlockSpec((4, _T), lambda g, t: (0, g)),
+            pl.BlockSpec((1, h_count, _T), lambda g, t: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((k_count, 3), lambda g, t: (0, 0)),
+            pl.BlockSpec((k_count, c8, d_pad), lambda g, t: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((_T, d_pad), lambda g, t: (g, 0)),
+            pl.BlockSpec((_T, 1), lambda g, t: (g, 0)),
+            pl.BlockSpec(
+                (res_shape[0], res_shape[1], _T if save_residuals else 1),
+                (lambda g, t: (0, 0, g)) if save_residuals else (lambda g, t: (0, 0, 0)),
+            ),
+            pl.BlockSpec(
+                (plane_shape[0], _T if save_residuals else 1),
+                (lambda g, t: (0, g)) if save_residuals else (lambda g, t: (0, 0)),
+            ),
+            pl.BlockSpec(
+                (plane_shape[0], _T if save_residuals else 1),
+                (lambda g, t: (0, g)) if save_residuals else (lambda g, t: (0, 0)),
+            ),
+            pl.BlockSpec(
+                (plane_shape[0], _T if save_residuals else 1),
+                (lambda g, t: (0, g)) if save_residuals else (lambda g, t: (0, 0)),
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows_pad, cand), jnp.bfloat16),
+            pltpu.VMEM((h_count, c8, _T), jnp.float32),
+            pltpu.VMEM((3, h_count, _T), jnp.float32),
+            pltpu.VMEM((k_count, h_count, _T), jnp.float32),
+            pltpu.VMEM((k_count, c8, _T), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out, nn, nx_res, rx_res, ry_res, rz_res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nq_pad, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nq_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct(res_shape, jnp.float32),
+            jax.ShapeDtypeStruct(plane_shape, jnp.float32),
+            jax.ShapeDtypeStruct(plane_shape, jnp.float32),
+            jax.ShapeDtypeStruct(plane_shape, jnp.float32),
+        ],
+        interpret=interpret,
+    )(tiles, q3, lidx_t, supa,
+      kernel_points.astype(jnp.float32), w8.astype(jnp.float32))
+    out = out[:nq, :d]
+    nn = nn[:nq, 0]
+    if save_residuals:
+        return out, nn, (nx_res, rx_res, ry_res, rz_res)
+    return out, nn
+
+
+def kpconv_tiled_ad(
+    q_pts, s_pts, s_feats, lidx, tiles, gidx, kernel_points, weights,
+    kp_extent, influence="linear", aggregation="sum", interpret=False,
+    tile: int = 128,
+):
+    """Differentiable candidate-DMA KPConv: gradients flow to ``s_feats``
+    and ``weights`` only (geometry/indices are fixed, like every KPConv
+    path here — reference blocks.py:226).  ``gidx`` [Nq, H] are the GLOBAL
+    neighbor indices (pad = Ns) for the backward's scatter-add.
+
+    Every array is an EXPLICIT custom_vjp argument — closure-captured
+    tracers leak across the grad trace under lax.map (observed
+    UnexpectedTracerError); non-differentiable inputs get zero / float0
+    cotangents."""
+    import numpy as _np
+
+    core = _TILED_CORE_CACHE.get((kp_extent, influence, aggregation, interpret, tile))
+    if core is None:
+        core = _make_tiled_core(kp_extent, influence, aggregation, interpret, tile)
+        _TILED_CORE_CACHE[(kp_extent, influence, aggregation, interpret, tile)] = core
+    return core(
+        jax.lax.stop_gradient(q_pts),
+        jax.lax.stop_gradient(s_pts),
+        s_feats,
+        lidx, tiles, gidx,
+        jax.lax.stop_gradient(kernel_points),
+        weights,
+    )
+
+
+_TILED_CORE_CACHE: dict = {}
+
+
+def _make_tiled_core(kp_extent, influence, aggregation, interpret, tile):
+    import numpy as _np
+
+    @jax.custom_vjp
+    def core(q_pts, s_pts, feats, lidx, tiles, gidx, kp, w):
+        return kpconv_tiled(
+            q_pts, s_pts, feats, lidx, tiles, kp, w,
+            kp_extent, influence, aggregation, interpret=interpret, tile=tile,
+        )
+
+    def core_fwd(q_pts, s_pts, feats, lidx, tiles, gidx, kp, w):
+        out, nn, res = kpconv_tiled(
+            q_pts, s_pts, feats, lidx, tiles, kp, w,
+            kp_extent, influence, aggregation, interpret=interpret, tile=tile,
+            save_residuals=True,
+        )
+        meta = (q_pts.shape[0], feats.shape[0], feats.shape[1], lidx.shape[1],
+                w.shape[2], lidx.shape, tiles.shape, gidx.shape)
+        return (out, nn), (res, w, kp, gidx, meta)
+
+    def core_bwd(saved, cots):
+        (nx_res, rx, ry, rz), w, kp, gidx, meta = saved
+        nq, ns, c_in, h_count, d, lidx_shape, tiles_shape, gidx_shape = meta
+        g, _g_nn = cots
+        c8 = nx_res.shape[1]
+        w8 = w
+        if c_in != c8:
+            w8 = jnp.pad(w, ((0, 0), (0, c8 - c_in), (0, 0)))
+        g_pad = jnp.zeros((nx_res.shape[2], d), jnp.float32).at[:nq].set(
+            g.astype(jnp.float32)
+        )
+        dnx_t, dw = _bwd_from_planes(
+            (rx, ry, rz), nx_res, g_pad, kp, w8,
+            kp_extent, influence, aggregation, interpret=interpret,
+        )
+        # dnx [H, C8, Nq_pad] -> scatter-add onto support rows via the
+        # global indices (the XLA gather VJP in matrix form).
+        # _bwd_from_planes pads the h axis to sublanes — slice it back.
+        dnx = dnx_t[:h_count, :c_in, :nq].transpose(2, 0, 1).reshape(nq * h_count, c_in)
+        ds_feats = jax.ops.segment_sum(
+            dnx, gidx.reshape(-1), num_segments=ns + 1
+        )[:-1]
+        f0 = jax.dtypes.float0
+        return (
+            jnp.zeros((nq, 3), jnp.float32),      # q_pts
+            jnp.zeros((ns, 3), jnp.float32),      # s_pts
+            ds_feats.astype(jnp.float32),         # feats
+            _np.zeros(lidx_shape, f0),            # lidx (int -> float0)
+            _np.zeros(tiles_shape, f0),           # tiles
+            _np.zeros(gidx_shape, f0),            # gidx
+            jnp.zeros_like(kp),                   # kernel points
+            dw[:, :c_in, :].astype(w.dtype),      # weights
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core

@@ -39,6 +39,11 @@ class Pyramid:
     neighbors: Tuple[jnp.ndarray, ...]
     pools: Tuple[jnp.ndarray, ...]
     upsamples: Tuple[jnp.ndarray, ...]
+    # Tile-local neighbor metadata for the candidate-DMA KPConv kernel
+    # (ops/kpconv_tiled.py): per level, (lidx [2, Gp·128, H], tiles
+    # [2, Gp, M]) or None when the level fell back to the dense search.
+    conv_local: Tuple = ()
+    pool_local: Tuple = ()
 
 
 def build_pyramid(
@@ -82,8 +87,18 @@ def build_pyramid(
                 tile=budgets.search_tile, m_tiles=budgets.search_m_tiles,
                 query_chunk=ch, exact=budgets.search_exact,
             )
+
+        def search_local_one(q, s, m, r, cap, ch):
+            return radius_search_tiled(
+                q, s, m, r, cap,
+                tile=budgets.search_tile, m_tiles=budgets.search_m_tiles,
+                query_chunk=ch, exact=budgets.search_exact, return_local=True,
+            )
+
+        search_local = jax.vmap(search_local_one, in_axes=(0, 0, 0, None, None, None))
     else:
         search_one = radius_search
+        search_local = None
     search = jax.vmap(search_one, in_axes=(0, 0, 0, None, None, None))
 
     def subsample_one(p, m, dl, n):
@@ -104,18 +119,32 @@ def build_pyramid(
     upsamples = []
     overflow = []
 
+    conv_local = []
+    pool_local = []
     for level in range(num_levels):
         cap = budgets.neighbors[level]
         pts, msk = lvl_points[level], lvl_masks[level]
         r_conv = r * deform_scale if (deform_conv and deform_conv[level]) else r
-        neighbors.append(search(pts, pts, msk, r_conv, cap, chunk))
+        if search_local is not None:
+            idx, lidx, tls = search_local(pts, pts, msk, r_conv, cap, chunk)
+            neighbors.append(idx)
+            conv_local.append(None if lidx is None else (lidx, tls))
+        else:
+            neighbors.append(search(pts, pts, msk, r_conv, cap, chunk))
+            conv_local.append(None)
         if level + 1 < num_levels:
             dl = 2.0 * r / conv_radius
             n_next = budgets.points[level + 1]
             pool_p, pool_m, n_voxels = subsample(pts, msk, dl, n_next)
             overflow.append(n_voxels - n_next)
             r_pool = r * deform_scale if (deform_pool and deform_pool[level]) else r
-            pools.append(search(pool_p, pts, msk, r_pool, cap, chunk))
+            if search_local is not None:
+                pidx, plidx, ptls = search_local(pool_p, pts, msk, r_pool, cap, chunk)
+                pools.append(pidx)
+                pool_local.append(None if plidx is None else (plidx, ptls))
+            else:
+                pools.append(search(pool_p, pts, msk, r_pool, cap, chunk))
+                pool_local.append(None)
             # Upsample lists are consumed ONLY by closest_pool / nearest
             # upsampling, which reads the single closest coarse point
             # (reference models/blocks.py:71-83 keeps just inds[:,0]); a k=1
@@ -131,6 +160,8 @@ def build_pyramid(
         neighbors=tuple(neighbors),
         pools=tuple(pools),
         upsamples=tuple(upsamples),
+        conv_local=tuple(conv_local),
+        pool_local=tuple(pool_local),
     )
     if with_overflow:
         return pyramid, jnp.stack(overflow)

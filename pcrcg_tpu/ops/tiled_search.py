@@ -40,10 +40,19 @@ def radius_search_tiled(
     m_tiles: int = 16,
     query_chunk: int = 1024,
     exact: bool = False,
-) -> jnp.ndarray:
+    return_local: bool = False,
+):
     """queries [Nq,3], supports [Ns,3] (both Z-order sorted), support_mask
     [Ns] -> idx [Nq,k] int32 in [0, Ns] (Ns = shadow), ascending distance.
-    """
+
+    With ``return_local`` also returns the tile-relative form consumed by
+    the candidate-DMA KPConv kernel (ops/kpconv_tiled.py):
+      lidx  [Nq, k] int32 — position of each neighbor inside its query
+            group's candidate block (m_tiles·tile entries; shadow =
+            m_tiles·tile);
+      tiles [Nq/128, m_tiles] int32 — the candidate tile ids per group.
+    Returns (idx, lidx, tiles), or (idx, None, None) on the dense
+    fallback (cloud too small to prune)."""
     nq = queries.shape[0]
     ns = supports.shape[0]
 
@@ -52,7 +61,10 @@ def radius_search_tiled(
     n_tiles = sup.shape[0] // tile
     if n_tiles <= m_tiles:
         # Nothing to prune — the dense search is already minimal.
-        return radius_search(queries, supports, support_mask, radius, k, query_chunk)
+        dense = radius_search(queries, supports, support_mask, radius, k, query_chunk)
+        if return_local:
+            return dense, None, None
+        return dense
 
     sup_tiles = sup.reshape(n_tiles, tile, 3)
     tmask = smask.reshape(n_tiles, tile)
@@ -93,16 +105,30 @@ def radius_search_tiled(
             - 2.0 * jnp.matmul(q, cand.T, precision=_HIGH)
         )
         d2k, lidx = _smallest_k(d2, k, exact=exact)
-        gidx = sel[lidx // tile] * tile + lidx % tile
-        idx = jnp.where(d2k <= r2, gidx, ns)
-        return idx.astype(jnp.int32)
+        # Tile-local -> global: resolve the 24-entry tile table with a
+        # compare-select sum, NOT sel[lidx // tile] — that tiny table
+        # lookup compiles to a latency-bound row gather (~6 ns/row) and
+        # was ~30 ms/pyramid at bench sizes (traced).
+        m_of = lidx // tile
+        tile_base = jnp.zeros_like(lidx)
+        for m in range(m_tiles):
+            tile_base = tile_base + jnp.where(m_of == m, sel[m] * tile, 0)
+        gidx = tile_base + lidx % tile
+        idx = jnp.where(d2k <= r2, gidx, ns).astype(jnp.int32)
+        lidx = jnp.where(d2k <= r2, lidx, m_tiles * tile).astype(jnp.int32)
+        return idx, lidx, sel.astype(jnp.int32)
 
     def one_chunk(qc):  # [chunk, 3]
         return jax.vmap(one_group)(qc.reshape(-1, _Q_TILE, 3))
 
     padded = _pad_rows(queries, chunk, PAD_COORD)
-    out = jax.lax.map(one_chunk, padded.reshape(-1, chunk, 3))
-    return out.reshape(-1, k)[:nq]
+    out, lout, tout = jax.lax.map(one_chunk, padded.reshape(-1, chunk, 3))
+    idx = out.reshape(-1, k)[:nq]
+    if not return_local:
+        return idx
+    # Keep the group-padded forms: the kernel runs over ceil(Nq/128) full
+    # groups (pad queries land at PAD_COORD and select shadow everywhere).
+    return idx, lout.reshape(-1, k), tout.reshape(-1, m_tiles)
 
 
 def min_dist_sq_tiled(

@@ -68,27 +68,46 @@ def pair_loss(
     return stats
 
 
-def batched_stats(model, variables, cfg: Config, key, batch: PairBatch, images=None):
+def batched_stats(model, variables, cfg: Config, key, batch: PairBatch, images=None,
+                  sharded: bool = False):
     keys = jax.random.split(key, batch.batch_size)
     base = (keys, batch.points, batch.masks, batch.features, batch.rot, batch.trans)
     opt = {"images": images, "raw_points": batch.raw_points}
     present = [k for k, v in opt.items() if v is not None]
 
-    def fn(k, p, m, f, r, t, *rest):
+    if sharded:
+        # Mesh-sharded batch axis: vmap keeps the program SPMD so GSPMD can
+        # partition pairs over 'data' (and the cloud axis over 'model').
+        # The candidate-DMA Pallas kernel cannot be vmap-batched — mesh
+        # runs set cfg.kpconv_tiled=False (Trainer does this).
+        def vfn(k, p, m, f, r, t, *rest):
+            kw = dict(zip(present, rest))
+            return pair_loss(model, variables, cfg, k, p, m, f, r, t, **kw)
+
+        stats = jax.vmap(vfn)(*base, *(opt[k] for k in present))
+        return jax.tree_util.tree_map(jnp.mean, stats)
+
+    def fn(args):
+        k, p, m, f, r, t, *rest = args
         kw = dict(zip(present, rest))
         return pair_loss(model, variables, cfg, k, p, m, f, r, t, **kw)
 
-    stats = jax.vmap(fn)(*base, *(opt[k] for k in present))
+    # lax.map, not vmap: the body compiles ONCE and runs per pair — no
+    # batching rules, so the Pallas scalar-prefetch kernels (candidate-DMA
+    # KPConv) stay usable; per-pair work is linear in pairs anyway
+    # (PERF.md: batch=4 was slower than 4x batch=1).
+    stats = jax.lax.map(fn, (*base, *(opt[k] for k in present)))
     return jax.tree_util.tree_map(jnp.mean, stats)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "sharded"))
 def train_step(
-    model, cfg: Config, state: TrainState, batch: PairBatch, key, images=None
+    model, cfg: Config, state: TrainState, batch: PairBatch, key, images=None,
+    sharded: bool = False,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     def loss_fn(params):
         variables = dict(state.variables(), params=params)
-        stats = batched_stats(model, variables, cfg, key, batch, images)
+        stats = batched_stats(model, variables, cfg, key, batch, images, sharded)
         return stats["total"], stats
 
     (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -96,21 +115,22 @@ def train_step(
     return new_state, stats
 
 
-@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "sharded"))
 def eval_step(
-    model, cfg: Config, state: TrainState, batch: PairBatch, key, images=None
+    model, cfg: Config, state: TrainState, batch: PairBatch, key, images=None,
+    sharded: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    return batched_stats(model, state.variables(), cfg, key, batch, images)
+    return batched_stats(model, state.variables(), cfg, key, batch, images, sharded)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg"))
 def infer_step(model, cfg: Config, state: TrainState, batch: PairBatch, images=None):
     """Forward only; returns the per-pair outputs used by pose estimation
     (descriptor/score dumps, reference lib/tester.py:92-102)."""
-    def one(points, masks, features, im=None):
-        out, _ = forward_pair(model, state.variables(), cfg, points, masks, features, im)
+    def one(args):
+        out, _ = forward_pair(model, state.variables(), cfg, *args)
         return out
 
     if images is not None:
-        return jax.vmap(one)(batch.points, batch.masks, batch.features, images)
-    return jax.vmap(lambda p, m, f: one(p, m, f))(batch.points, batch.masks, batch.features)
+        return jax.lax.map(one, (batch.points, batch.masks, batch.features, images))
+    return jax.lax.map(one, (batch.points, batch.masks, batch.features))

@@ -137,6 +137,11 @@ class Trainer:
                     f"the data-parallel shard count {n_shards}"
                 )
             self.state = replicate(self.state, self.mesh)
+            if jax.default_backend() == "tpu" and self.cfg.kpconv_tiled:
+                # GSPMD mesh training vmaps over pairs; the candidate-DMA
+                # Pallas kernel cannot be vmap-batched — fall back to the
+                # merged-gather kernels for sharded steps.
+                self.cfg = self.cfg.replace(kpconv_tiled=False)
         self.ckpt = CheckpointManager(os.path.join(cfg.exp_dir, "checkpoints"))
         self.start_epoch = 0
         if cfg.pretrain:
@@ -209,13 +214,16 @@ class Trainer:
 
                 images = shard_images(images, self.mesh, batch.batch_size)
                 batch = shard_pair_batch(batch, self.mesh)
+            sharded = self.mesh is not None
             if phase == "train":
                 self.state, stats = train_step(
-                    self.model, self.cfg, self.state, batch, self._next_key(), images
+                    self.model, self.cfg, self.state, batch, self._next_key(), images,
+                    sharded=sharded,
                 )
             else:
                 stats = eval_step(
-                    self.model, self.cfg, self.state, batch, self._next_key(), images
+                    self.model, self.cfg, self.state, batch, self._next_key(), images,
+                    sharded=sharded,
                 )
             stats = {k: float(v) for k, v in stats.items()}
             timer.toc()
