@@ -79,7 +79,15 @@ class Budgets:
     # whenever the cloud is too small to prune.
     search_impl: str = "tiled"
     search_tile: int = 128
-    search_m_tiles: int = 24
+    # Candidate-tile budget: both the tiled search's distance matmuls and
+    # the candidate-DMA KPConv's one-hot materialization scale linearly in
+    # m_tiles.  On-chip A/B (scripts/ab_m_tiles.py, assets pair, recall vs
+    # the exact search): 24 -> 0.981/0.985/1.0/1.0 per level at 7.48
+    # pairs/s; 16 -> 0.978/0.988 at 7.74; 12 -> 0.962/0.978/0.994/1.0 at
+    # 8.49 pairs/s.  12 stays above the 0.95 recall floor validated by the
+    # round-1 approx-top-k A/B and re-validated end-task by the accuracy-
+    # evidence run at this setting (perf_runs/accuracy_evidence_m12.jsonl).
+    search_m_tiles: int = 12
     # Exact per-row top-k inside the tiled search (affordable on the pruned
     # ~3k-candidate sets) instead of approx_min_k at recall 0.95.
     search_exact: bool = False

@@ -179,7 +179,25 @@ class ResnetBottleneckBlock(nn.Module):
             name="KPConv",
             **self.config_kp,
         )
-        if self.strided:
+        if self.strided and tiled_meta is not None and quarter <= 128:
+            # Candidate-DMA path: the conv reads its neighbor rows from
+            # the pool search's candidate tiles in VMEM (zero row
+            # gathers); the shortcut max-pool still gathers forward but
+            # back-propagates through the tile-scatter kernel.
+            y = conv(q_pts, s_pts, neighb_inds, y, None, tiled_meta=tiled_meta)
+            if jax.default_backend() == "tpu":
+                from pcrcg_tpu.ops.kpconv_tiled import max_pool_tiled
+
+                lidx, tiles = tiled_meta
+                mp_tile = self.config_kp.get("tiled_meta_tile", 128)
+                shortcut = jnp.stack([
+                    max_pool_tiled(x[b], neighb_inds[b], lidx[b], tiles[b],
+                                   tile=mp_tile)
+                    for b in range(x.shape[0])
+                ])
+            else:
+                shortcut = max_pool(x, neighb_inds)
+        elif self.strided:
             # The strided shortcut's max-pooled features ride the KPConv's
             # neighbor gather (one gather instead of three on the fused
             # path: coords + conv features + shortcut features).

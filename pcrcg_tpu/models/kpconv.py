@@ -458,6 +458,11 @@ class KPConv(nn.Module):
         if (
             tiled_meta is not None
             and shortcut_x is None
+            # C8 > 128 overflows the 16MB scoped-VMEM limit in the
+            # residual-saving training forward (nx scratch + nx_out block
+            # are each [H, C8, 128] f32); wide upper-level convs are cheap
+            # anyway — keep them on the shared-rel fused path.
+            and self.in_channels <= 128
             and resolve_kpconv_impl(self.impl) == "fused"
             and jax.default_backend() == "tpu"
         ):

@@ -180,6 +180,13 @@ class KPFCNN(nn.Module):
             locals_ = getattr(pyramid, "conv_local", ())
             return locals_[lvl] if lvl < len(locals_) else None
 
+        def pool_tiled_meta(lvl):
+            """Same, for the strided blocks' pool search."""
+            if not fused_path or not cfg.kpconv_tiled:
+                return None
+            locals_ = getattr(pyramid, "pool_local", ())
+            return locals_[lvl] if lvl < len(locals_) else None
+
         conv_rel = {}
         pool_rel = {}
         for bp in plan.encoder:
@@ -228,10 +235,12 @@ class KPFCNN(nn.Module):
                 modulated=cfg.modulated,
                 name=f"encoder_{block_i}",
             )
-            tmeta = (
-                conv_tiled_meta(lvl)
-                if (not bp.strided and not bp.deformable) else None
-            )
+            if bp.deformable:
+                tmeta = None
+            elif bp.strided:
+                tmeta = pool_tiled_meta(lvl)
+            else:
+                tmeta = conv_tiled_meta(lvl)
             if bp.kind == "simple":
                 # Block 0 over the ones-column input (in_feats_dim 1, no 2D
                 # branch): neighbor features == validity bits; skip the

@@ -347,6 +347,203 @@ def kpconv_tiled(
     return out, nn
 
 
+def _dcand_kernel(lidx_ref, dnx_ref, out_ref, acc_ref, *, h_count, cand):
+    """Per query group: dcand[c, j] = sum over (h, t) with lidx[h,t]==j of
+    dnx[h, c, t] — the TRANSPOSED one-hot matmul of the forward's gather.
+    Turning the row-level scatter into per-group candidate gradients makes
+    the remaining HBM scatter tile-granular (G*M blocks instead of Nq*H
+    rows; the [1M-row, C] segment_sum was ~15 ms at level 0).
+
+    dnx rides the MXU as a bf16 hi/lo split (bit-masked IN-KERNEL — no XLA
+    simplification pass can fold it) — exact to ~2^-16 relative."""
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    t = dnx_ref.shape[2]
+
+    def h_step(h, _):
+        dnx_h = dnx_ref[h]  # [C8, T] f32
+        bits = jax.lax.bitcast_convert_type(dnx_h, jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+        lo = dnx_h - hi
+        lblk = lidx_ref[0, h]  # [T]
+        eh = (
+            jax.lax.broadcasted_iota(jnp.int32, (t, cand), 1) == lblk[:, None]
+        ).astype(jnp.bfloat16)  # [T, CAND]
+        for part in (hi, lo):
+            acc_ref[:] += jax.lax.dot_general(
+                part.astype(jnp.bfloat16), eh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return 0
+
+    jax.lax.fori_loop(0, h_count, h_step, 0)
+    out_ref[0] = acc_ref[:]
+
+
+def _tile_block_scatter(dcand, tiles, ns, c_in, tile):
+    """dcand [G, C8, M*tile] per-group candidate grads -> ds [ns, c_in],
+    accumulated at TILE granularity (G*M blocks instead of Nq*H rows).
+
+    The accumulation itself is a one-hot MXU matmul, NOT a segment_sum:
+    XLA lowers the [G*M, tile*C8] segment_sum to a sequential
+    dynamic-update-slice while-loop (~24 ms at level 0, traced).  The
+    selection matrix is exact 0/1 and the values ride as bf16 hi/lo limbs,
+    so each output element is an exact f32 sum of bf16-split inputs."""
+    g_count, c8, cand = dcand.shape
+    m_tiles = tiles.shape[1]
+    ns_pad = ((ns + tile - 1) // tile) * tile
+    n_tiles = ns_pad // tile
+    dc = (
+        dcand.transpose(0, 2, 1)
+        .reshape(g_count, m_tiles, tile, c8)
+        .reshape(g_count * m_tiles, tile * c8)
+    )
+    sel = (
+        tiles.reshape(-1)[None, :]
+        == jax.lax.broadcasted_iota(jnp.int32, (n_tiles, 1), 0)
+    ).astype(jnp.bfloat16)  # [n_tiles, G*M]
+    dc_hl = _split_hi_lo(dc)  # [2*G*M, tile*C8] bf16 (hi rows then lo rows)
+    seg = jax.lax.dot_general(
+        jnp.concatenate([sel, sel], axis=1), dc_hl,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    return seg.reshape(ns_pad, c8)[:ns, :c_in]
+
+
+def _scatter_ds_feats(dnx_t, lidx, tiles, ns, c_in, tile, interpret=False):
+    """dnx_t [H, C8, Gp*T] (group-padded), lidx [Gp*T, H], tiles [G, M] ->
+    ds_feats [ns, c_in] via per-group dcand + tile-block segment-sum."""
+    h_count, c8, nq_pad = dnx_t.shape
+    g_count, m_tiles = tiles.shape
+    cand = m_tiles * tile
+    lidx_t = lidx.reshape(g_count, _T, h_count).transpose(0, 2, 1)  # [G,H,T]
+
+    dcand = pl.pallas_call(
+        functools.partial(_dcand_kernel, h_count=h_count, cand=cand),
+        grid=(g_count,),
+        in_specs=[
+            pl.BlockSpec((1, h_count, _T), lambda g: (g, 0, 0)),
+            pl.BlockSpec((h_count, c8, _T), lambda g: (0, 0, g)),
+        ],
+        out_specs=pl.BlockSpec((1, c8, cand), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g_count, c8, cand), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c8, cand), jnp.float32)],
+        interpret=interpret,
+    )(lidx_t, dnx_t)
+    return _tile_block_scatter(dcand, tiles, ns, c_in, tile)
+
+
+def _maxpool_bwd_kernel(lidx_ref, amax_ref, g_ref, out_ref, acc_ref, *,
+                        h_count, cand):
+    """Shortcut max-pool backward without value re-materialization: the
+    forward saved argmax-h per (query, channel); grad for candidate j is
+    the sum of g[q, c] over (q, c) with lidx[q, amax[q, c]] == j.  Per h:
+    mask channels whose argmax is h, then the transposed one-hot matmul —
+    same E structure as _dcand_kernel, zero gathers, zero row scatters."""
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    t = g_ref.shape[1]
+
+    def h_step(h, _):
+        rows = jnp.where(amax_ref[:] == h, g_ref[:], 0.0)  # [c_blk, T]
+        bits = jax.lax.bitcast_convert_type(rows, jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+        lo = rows - hi
+        lblk = lidx_ref[0, h]
+        eh = (
+            jax.lax.broadcasted_iota(jnp.int32, (t, cand), 1) == lblk[:, None]
+        ).astype(jnp.bfloat16)
+        for part in (hi, lo):
+            acc_ref[:] += jax.lax.dot_general(
+                part.astype(jnp.bfloat16), eh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return 0
+
+    jax.lax.fori_loop(0, h_count, h_step, 0)
+    out_ref[0] = acc_ref[:]
+
+
+_MAXPOOL_CORE_CACHE: dict = {}
+
+
+def max_pool_tiled(x, inds, lidx, tiles, tile: int = 128, interpret: bool = False):
+    """Strided-shortcut max-pool with a tile-scatter backward.
+
+    Forward is the standard gather + max over neighbors (shadow rows are
+    zero, reference models/blocks.py:86-103).  Backward routes the grad to
+    the saved argmax neighbor (first-winner subgradient) and accumulates
+    per support TILE via _maxpool_bwd_kernel — replacing the [Nq*H, C]
+    row scatter that was the train step's single largest op (12 ms at
+    level 0)."""
+    key = (tile, interpret)
+    core = _MAXPOOL_CORE_CACHE.get(key)
+    if core is None:
+        core = _make_maxpool_core(tile, interpret)
+        _MAXPOOL_CORE_CACHE[key] = core
+    return core(x, inds, lidx, tiles)
+
+
+def _make_maxpool_core(tile, interpret):
+    import numpy as _np
+
+    from pcrcg_tpu.ops.masked import pad_gather
+
+    @jax.custom_vjp
+    def core(x, inds, lidx, tiles):
+        return jnp.max(pad_gather(x, inds, 0.0), axis=1)
+
+    def core_fwd(x, inds, lidx, tiles):
+        gathered = pad_gather(x, inds, 0.0)  # [Nq, H, C]
+        amax = jnp.argmax(gathered, axis=1).astype(jnp.int32)  # [Nq, C]
+        out = jnp.max(gathered, axis=1)
+        # x rides along for shape/dtype only (alive anyway — the block
+        # also feeds it to the shortcut unary); inds only for its shape.
+        return out, (amax, lidx, tiles, x, inds)
+
+    def core_bwd(saved, g):
+        amax, lidx, tiles, x, inds = saved
+        x_dtype = x.dtype
+        inds_shape = inds.shape
+        ns, c = x.shape
+        nq, h_count = inds_shape
+        g_count, m_tiles = tiles.shape
+        cand = m_tiles * tile
+        nq_pad = g_count * _T
+        c8 = max(8, ((c + 7) // 8) * 8)
+        c_blk = min(c8, 128)
+
+        # [C8, Nq_pad] transposed layouts (T on lanes, like every kernel).
+        amax_t = jnp.full((c8, nq_pad), -1, jnp.int32).at[:c, :nq].set(amax.T)
+        g_t = jnp.zeros((c8, nq_pad), jnp.float32).at[:c, :nq].set(
+            g.astype(jnp.float32).T
+        )
+        lidx_t = lidx.reshape(g_count, _T, h_count).transpose(0, 2, 1)
+
+        dcand = pl.pallas_call(
+            functools.partial(_maxpool_bwd_kernel, h_count=h_count, cand=cand),
+            grid=(g_count, c8 // c_blk),
+            in_specs=[
+                pl.BlockSpec((1, h_count, _T), lambda g_, jc: (g_, 0, 0)),
+                pl.BlockSpec((c_blk, _T), lambda g_, jc: (jc, g_)),
+                pl.BlockSpec((c_blk, _T), lambda g_, jc: (jc, g_)),
+            ],
+            out_specs=pl.BlockSpec((1, c_blk, cand), lambda g_, jc: (g_, jc, 0)),
+            out_shape=jax.ShapeDtypeStruct((g_count, c8, cand), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((c_blk, cand), jnp.float32)],
+            interpret=interpret,
+        )(lidx_t, amax_t, g_t)
+        ds = _tile_block_scatter(dcand, tiles, ns, c, tile)
+        f0 = jax.dtypes.float0
+        return (
+            ds.astype(x_dtype),
+            _np.zeros(inds_shape, f0),
+            _np.zeros(lidx.shape, f0),
+            _np.zeros(tiles.shape, f0),
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
 def kpconv_tiled_ad(
     q_pts, s_pts, s_feats, lidx, tiles, gidx, kernel_points, weights,
     kp_extent, influence="linear", aggregation="sum", interpret=False,
@@ -398,10 +595,10 @@ def _make_tiled_core(kp_extent, influence, aggregation, interpret, tile):
         )
         meta = (q_pts.shape[0], feats.shape[0], feats.shape[1], lidx.shape[1],
                 w.shape[2], lidx.shape, tiles.shape, gidx.shape)
-        return (out, nn), (res, w, kp, gidx, meta)
+        return (out, nn), (res, w, kp, lidx, tiles, meta)
 
     def core_bwd(saved, cots):
-        (nx_res, rx, ry, rz), w, kp, gidx, meta = saved
+        (nx_res, rx, ry, rz), w, kp, lidx, tiles, meta = saved
         nq, ns, c_in, h_count, d, lidx_shape, tiles_shape, gidx_shape = meta
         g, _g_nn = cots
         c8 = nx_res.shape[1]
@@ -415,13 +612,12 @@ def _make_tiled_core(kp_extent, influence, aggregation, interpret, tile):
             (rx, ry, rz), nx_res, g_pad, kp, w8,
             kp_extent, influence, aggregation, interpret=interpret,
         )
-        # dnx [H, C8, Nq_pad] -> scatter-add onto support rows via the
-        # global indices (the XLA gather VJP in matrix form).
-        # _bwd_from_planes pads the h axis to sublanes — slice it back.
-        dnx = dnx_t[:h_count, :c_in, :nq].transpose(2, 0, 1).reshape(nq * h_count, c_in)
-        ds_feats = jax.ops.segment_sum(
-            dnx, gidx.reshape(-1), num_segments=ns + 1
-        )[:-1]
+        # dnx [H, C8, Nq_pad] -> per-group transposed one-hot matmul, then a
+        # tile-granular block scatter (_scatter_ds_feats; the row-level
+        # segment_sum over Nq*H rows was the train step's top scatter cost).
+        ds_feats = _scatter_ds_feats(
+            dnx_t[:h_count], lidx, tiles, ns, c_in, tile, interpret=interpret,
+        )
         f0 = jax.dtypes.float0
         return (
             jnp.zeros((nq, 3), jnp.float32),      # q_pts

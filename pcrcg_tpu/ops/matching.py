@@ -30,10 +30,18 @@ def nearest_feature_neighbor(
     Rows are chunked; all-invalid support masks return index 0.
     """
     neg = jnp.finfo(jnp.float32).min
-    sup_t = support_feats.T
+    # bf16 scores: this argmax only picks the best-match INDEX for loss
+    # labels (no gradient flows through it); a ~2^-8-relative score error
+    # flips the pick only between near-equal matches, which then land on
+    # the same side of the downstream distance threshold.  The f32 HIGHEST
+    # matmul was 6 MXU passes over a [N, N] product — the single largest
+    # loss-stage cost in the train trace.
+    sup_t = support_feats.astype(jnp.bfloat16).T
 
     def one_chunk(q):
-        scores = jnp.matmul(q, sup_t, precision=_HIGH)
+        scores = jnp.matmul(
+            q.astype(jnp.bfloat16), sup_t, preferred_element_type=jnp.float32
+        )
         scores = jnp.where(support_mask[None, :], scores, neg)
         return jnp.argmax(scores, axis=-1).astype(jnp.int32)
 

@@ -5,7 +5,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# This VM masks CPUID features (boot warnings: "+prefer-no-gather is not a
+# recognized feature ... SIGILL"); XLA:CPU's LLVM JIT then segfaults
+# *during compile* on long runs (observed in test_trainer's init_model
+# compile).  Capping codegen at AVX2 avoids the mis-detected AVX512 paths.
+if "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

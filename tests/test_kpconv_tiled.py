@@ -83,3 +83,31 @@ def test_tiled_kernel_gradients_match_xla(rng):
     df_got, dw_got = jax.grad(loss_tiled, argnums=(0, 1))(feats, w)
     np.testing.assert_allclose(np.asarray(df_got), np.asarray(df_ref), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dw_got), np.asarray(dw_ref), rtol=1e-3, atol=1e-4)
+
+
+def test_max_pool_tiled_matches_xla(rng):
+    from pcrcg_tpu.models.blocks import max_pool
+    from pcrcg_tpu.ops.kpconv_tiled import max_pool_tiled
+
+    q, sup, feats, gidx, lidx, tiles, kp, w = _setup(rng)
+    want = max_pool(feats[None], gidx[None])[0]
+    got = max_pool_tiled(feats, gidx, lidx, tiles, tile=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+    cot = jnp.asarray(
+        np.random.default_rng(1).normal(size=want.shape).astype(np.float32)
+    )
+
+    def loss_ref(f_):
+        return jnp.sum(max_pool(f_[None], gidx[None])[0] * cot)
+
+    def loss_tiled(f_):
+        return jnp.sum(max_pool_tiled(f_, gidx, lidx, tiles, tile=32, interpret=True) * cot)
+
+    df_ref = jax.grad(loss_ref)(feats)
+    df_got = jax.grad(loss_tiled)(feats)
+    # The tiled backward uses a first-winner subgradient; XLA's eq-split
+    # only differs on exact value ties, which random features don't hit.
+    # Tolerance matches the conv-grad test: the bf16 hi/lo limb path is
+    # exact to ~2^-16 relative per contribution.
+    np.testing.assert_allclose(np.asarray(df_got), np.asarray(df_ref), rtol=1e-3, atol=1e-4)
