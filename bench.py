@@ -101,8 +101,12 @@ def main(batch_size: int = None):
 
     n_points = 5000
 
+    # NOTE: variables/images are explicit jit arguments, NOT closures — a
+    # closed-over array is embedded in the HLO as a literal constant, and
+    # the ResNet50 params + image stacks blow the module past what the
+    # remote-compile transport accepts (broken pipe at ~200 MB modules).
     @jax.jit
-    def register_pair(points, masks, features, key):
+    def register_pair_impl(variables, images, points, masks, features, key):
         pyr = build_pyramid(
             points, masks, cfg.budgets, cfg.first_subsampling_dl, cfg.conv_radius
         )
@@ -124,12 +128,15 @@ def main(batch_size: int = None):
         )
         return res.transform, res.fitness
 
+    def register_pair(points, masks, features, key):
+        return register_pair_impl(variables, images, points, masks, features, key)
+
     if batch_size > 1:
-        single = register_pair
-        register = jax.jit(
-            lambda p, m, f, k: jax.vmap(lambda pp, mm, ff, kk: single(pp, mm, ff, kk))(
-                p, m, f, jax.random.split(k, batch_size)
-            )
+        batched = jax.jit(
+            jax.vmap(register_pair_impl, in_axes=(None, None, 0, 0, 0, 0))
+        )
+        register = lambda p, m, f, k: batched(
+            variables, images, p, m, f, jax.random.split(k, batch_size)
         )
         args = (batch.points, batch.masks, batch.features)
     else:

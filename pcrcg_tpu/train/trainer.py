@@ -15,7 +15,7 @@ host-side validate_gradient pass.
 from __future__ import annotations
 
 import os
-from collections import defaultdict
+from collections import defaultdict, deque
 from typing import Dict, Optional
 
 import jax
@@ -201,6 +201,7 @@ class Trainer:
         loader = self.loaders[phase]
         num_iter = len(loader)
         timer = Stopwatch()
+        inflight: deque = deque()
         for c_iter, (batch, images) in enumerate(loader):
             timer.tic()
             if self.mesh is not None and self.multihost:
@@ -225,10 +226,17 @@ class Trainer:
                     self.model, self.cfg, self.state, batch, self._next_key(), images,
                     sharded=sharded,
                 )
-            stats = {k: float(v) for k, v in stats.items()}
+            # Pipelined metering: realize step i-2's stats while step i
+            # computes — a blocking float() per step costs the full ~28 ms
+            # dispatch+readback RTT on the tunnel runtime (PERF.md), which
+            # is most of the gap between 177 ms device and 205 ms wall.
+            inflight.append((stats, batch.batch_size))
+            if len(inflight) > 2:
+                stats, bsz = inflight.popleft()
+                stats = {k: float(v) for k, v in stats.items()}
+                for k, v in stats.items():
+                    meters[k].update(v)
             timer.toc()
-            for k, v in stats.items():
-                meters[k].update(v)
             meters["pairs_per_sec"].update(batch.batch_size / max(timer.elapsed, 1e-9))
             if (c_iter + 1) % self.cfg.verbose_freq == 0 and self.cfg.verbose:
                 step = num_iter * epoch + c_iter
@@ -238,6 +246,9 @@ class Trainer:
                 )
                 self.logger.write(msg + "\n")
                 print(msg, flush=True)
+        for stats, bsz in inflight:  # drain the pipelined tail
+            for k, v in stats.items():
+                meters[k].update(float(v))
         summary = f"{phase} Epoch {epoch}: " + " ".join(
             f"{k}: {m.mean:.3f}" for k, m in meters.items()
         )

@@ -68,9 +68,15 @@ if __name__ == "__main__":
     )(pts, msk)
     jax.block_until_ready(pyr_exact.neighbors)
 
+    # argv: pairs like 128:12 64:20 64:16  (search_tile:m_tiles)
+    combos = [
+        tuple(int(v) for v in arg.split(":")) for arg in sys.argv[1:]
+    ] or [(128, 24), (128, 16), (128, 12)]
+
     model_vars = None
-    for m_tiles in (24, 16, 12):
-        b = Budgets(**{**base.budgets.__dict__, "search_m_tiles": m_tiles})
+    for tile_sz, m_tiles in combos:
+        b = Budgets(**{**base.budgets.__dict__,
+                       "search_tile": tile_sz, "search_m_tiles": m_tiles})
         cfg = base.replace(budgets=b)
         pyr_fn = jax.jit(
             lambda p, m, _b=b: build_pyramid(p, m, _b, cfg.first_subsampling_dl, cfg.conv_radius)
@@ -112,7 +118,7 @@ if __name__ == "__main__":
             ts.append((time.perf_counter() - t0) * 1000)
         ms = float(np.median(ts))
         print(
-            f"m_tiles={m_tiles}: recall/lvl={['%.4f' % r for r in rec]} "
+            f"tile={tile_sz} m_tiles={m_tiles}: recall/lvl={['%.4f' % r for r in rec]} "
             f"fitness={fit:.4f} e2e={ms:.1f} ms ({1000.0/ms:.2f} pairs/s)",
             flush=True,
         )
