@@ -80,7 +80,13 @@ def main(batch_size: int = None):
 
     cfg = Config(compute_dtype=compute_dtype)
     if image_feature:
-        cfg = cfg.replace(image_feature=True, in_feats_dim=129)
+        cfg = cfg.replace(
+            image_feature=True,
+            in_feats_dim=129,
+            image_compute_dtype=os.environ.get(
+                "PCRCG_BENCH_IMG_DTYPE", cfg.image_compute_dtype
+            ),
+        )
     src, tgt = load_assets_pair()
     batch = make_pair_batch(
         [dict(src_pcd=src, tgt_pcd=tgt, rot=np.eye(3), trans=np.zeros(3))]
@@ -124,7 +130,7 @@ def main(batch_size: int = None):
         res = ransac_pose(
             k3, s_pts, t_pts, corr, valid,
             distance_threshold=0.05, ransac_n=3, num_iterations=50000,
-            hypothesis_chunk=1024,
+            hypothesis_chunk=int(os.environ.get("PCRCG_BENCH_HCHUNK", "1024")),
         )
         return res.transform, res.fitness
 

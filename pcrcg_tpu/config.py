@@ -195,6 +195,11 @@ class Config:
     # multiple of it).
     data_parallel: int = 1
     compute_dtype: str = "float32"
+    # 2D-backbone conv-stack dtype (params and BN statistics stay f32;
+    # ResUNet returns f32 maps).  bfloat16 measured SLOWER on chip (5.00
+    # vs 5.25 pairs/s, PERF.md): Mosaic already runs f32 convs as one
+    # bf16 MXU pass, so explicit bf16 only adds conversions.
+    image_compute_dtype: str = "float32"
     # KPConv compute path: 'auto' (fused Pallas kernel on TPU, XLA elsewhere),
     # 'xla', 'reduce' (Pallas influence+reduce), 'fused' (Pallas
     # influence+reduce+matmul, ops/kpconv_fused.py).

@@ -42,10 +42,17 @@ class ImageLift(nn.Module):
     output_channel: int = 128
     depth: int = 50
     thresh: float = 0.1
+    # Conv-stack compute dtype for the backbone ("bfloat16" halves HBM
+    # traffic and doubles MXU throughput; lift math stays f32 — the
+    # backbone returns f32 feature maps either way).
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, points, masks, colors, depths, world2cam, valid_maps, intrinsics):
-        backbone = ResUNet(self.output_channel, self.depth, name="backbone2d")
+        backbone = ResUNet(
+            self.output_channel, self.depth,
+            dtype=jnp.dtype(self.compute_dtype), name="backbone2d",
+        )
         two, n_img = colors.shape[0], colors.shape[1]
         fmaps = backbone(colors.reshape((-1,) + colors.shape[2:]))
         fmaps = fmaps.reshape(colors.shape[:2] + fmaps.shape[1:])  # [2,I,h,w,C]

@@ -33,7 +33,9 @@ class PCRCG(nn.Module):
         cfg = self.config
         if cfg.image_feature:
             assert images is not None, "image_feature=True needs image inputs"
-            features = ImageLift(name="lift")(
+            features = ImageLift(
+                compute_dtype=cfg.image_compute_dtype, name="lift",
+            )(
                 pyramid.points[0],
                 pyramid.masks[0],
                 images["colors"],

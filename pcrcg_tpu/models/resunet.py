@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-def Conv(features, kernel_size, strides=(1, 1), name=None, use_bias=False):
+def Conv(features, kernel_size, strides=(1, 1), name=None, use_bias=False, dtype=None):
     """Conv with torch-style SYMMETRIC padding (k//2 each side): flax
     'SAME' places padding asymmetrically for strided convs, which shifts
     every downsampling layer relative to torch checkpoints."""
@@ -41,6 +41,7 @@ def Conv(features, kernel_size, strides=(1, 1), name=None, use_bias=False):
         padding=((k // 2, k // 2), (k // 2, k // 2)),
         use_bias=use_bias,
         kernel_init=nn.initializers.he_normal(),
+        dtype=dtype,
         name=name,
     )
 
@@ -54,6 +55,7 @@ class TrainModeBN(nn.Module):
 
     running: bool = False
     epsilon: float = 1e-5
+    dtype: object = None  # output dtype; statistics always computed in f32
 
     @nn.compact
     def __call__(self, x):
@@ -66,19 +68,21 @@ class TrainModeBN(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
+        xf = x.astype(jnp.float32)
         if self.running:
             mean, var = ra_mean.value, ra_var.value
         else:
             # Per-image spatial statistics; biased variance (torch's
             # normalization denominator in train mode).
-            mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
-            var = jnp.mean(jnp.square(x - mean), axis=(-3, -2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+            mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=(-3, -2), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
 
 
-def Norm(name=None, running: bool = False):
-    return TrainModeBN(running=running, name=name)
+def Norm(name=None, running: bool = False, dtype=None):
+    return TrainModeBN(running=running, dtype=dtype, name=name)
 
 
 def align_corners_matrix(n_in: int, n_out: int) -> jnp.ndarray:
@@ -99,8 +103,8 @@ def align_corners_matrix(n_in: int, n_out: int) -> jnp.ndarray:
 def bilinear_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """x [..., H, W, C] -> [..., h, w, C], align_corners=True."""
     h, w = size
-    mh = align_corners_matrix(x.shape[-3], h)  # [h, H]
-    mw = align_corners_matrix(x.shape[-2], w)  # [w, W]
+    mh = align_corners_matrix(x.shape[-3], h).astype(x.dtype)  # [h, H]
+    mw = align_corners_matrix(x.shape[-2], w).astype(x.dtype)  # [w, W]
     x = jnp.einsum("hH,...HWC->...hWC", mh, x)
     return jnp.einsum("wW,...hWC->...hwC", mw, x)
 
@@ -110,17 +114,18 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     bn_running: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        y = Conv(self.planes, (3, 3), (self.stride, self.stride), name="conv1")(x)
+        y = Conv(self.planes, (3, 3), (self.stride, self.stride), name="conv1", dtype=self.dtype)(x)
         y = Norm(name="bn1", running=self.bn_running)(y)
         y = nn.relu(y)
-        y = Conv(self.planes, (3, 3), name="conv2")(y)
+        y = Conv(self.planes, (3, 3), name="conv2", dtype=self.dtype)(y)
         y = Norm(name="bn2", running=self.bn_running)(y)
         if self.downsample:
-            identity = Conv(self.planes, (1, 1), (self.stride, self.stride), name="downsample_conv")(x)
+            identity = Conv(self.planes, (1, 1), (self.stride, self.stride), name="downsample_conv", dtype=self.dtype)(x)
             identity = Norm(name="downsample_bn", running=self.bn_running)(identity)
         return nn.relu(y + identity)
 
@@ -131,20 +136,21 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     expansion: int = 4
     bn_running: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        y = Conv(self.planes, (1, 1), name="conv1")(x)
+        y = Conv(self.planes, (1, 1), name="conv1", dtype=self.dtype)(x)
         y = nn.relu(Norm(name="bn1", running=self.bn_running)(y))
-        y = Conv(self.planes, (3, 3), (self.stride, self.stride), name="conv2")(y)
+        y = Conv(self.planes, (3, 3), (self.stride, self.stride), name="conv2", dtype=self.dtype)(y)
         y = nn.relu(Norm(name="bn2", running=self.bn_running)(y))
-        y = Conv(self.planes * self.expansion, (1, 1), name="conv3")(y)
+        y = Conv(self.planes * self.expansion, (1, 1), name="conv3", dtype=self.dtype)(y)
         y = Norm(name="bn3", running=self.bn_running)(y)
         if self.downsample:
             identity = Conv(
                 self.planes * self.expansion, (1, 1), (self.stride, self.stride),
-                name="downsample_conv",
+                name="downsample_conv", dtype=self.dtype,
             )(x)
             identity = Norm(name="downsample_bn", running=self.bn_running)(identity)
         return nn.relu(y + identity)
@@ -157,10 +163,11 @@ class ResNetEncoder(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)  # ResNet50
     block: str = "bottleneck"
     bn_running: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = Conv(64, (7, 7), (2, 2), name="conv1")(x)
+        x = Conv(64, (7, 7), (2, 2), name="conv1", dtype=self.dtype)(x)
         x = nn.relu(Norm(name="bn1", running=self.bn_running)(x))
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         blk = Bottleneck if self.block == "bottleneck" else BasicBlock
@@ -172,7 +179,7 @@ class ResNetEncoder(nn.Module):
             for b in range(n_blocks):
                 s = stride if b == 0 else 1
                 need_ds = b == 0 and (s != 1 or in_planes != planes * expansion)
-                x = blk(planes, s, need_ds, bn_running=self.bn_running, name=f"layer{stage+1}_{b}")(x)
+                x = blk(planes, s, need_ds, bn_running=self.bn_running, dtype=self.dtype, name=f"layer{stage+1}_{b}")(x)
                 in_planes = planes * expansion
             outs.append(x)
         return outs
@@ -183,13 +190,14 @@ class UpProjection(nn.Module):
 
     out_features: int
     bn_running: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, size):
         x = bilinear_resize(x, size)
-        b1 = nn.relu(Norm(name="bn1", running=self.bn_running)(Conv(self.out_features, (5, 5), name="conv1")(x)))
-        b1 = Norm(name="bn1_2", running=self.bn_running)(Conv(self.out_features, (3, 3), name="conv1_2")(b1))
-        b2 = Norm(name="bn2", running=self.bn_running)(Conv(self.out_features, (5, 5), name="conv2")(x))
+        b1 = nn.relu(Norm(name="bn1", running=self.bn_running)(Conv(self.out_features, (5, 5), name="conv1", dtype=self.dtype)(x)))
+        b1 = Norm(name="bn1_2", running=self.bn_running)(Conv(self.out_features, (3, 3), name="conv1_2", dtype=self.dtype)(b1))
+        b2 = Norm(name="bn2", running=self.bn_running)(Conv(self.out_features, (5, 5), name="conv2", dtype=self.dtype)(x))
         return nn.relu(b1 + b2)
 
 
@@ -204,23 +212,29 @@ class ResUNet(nn.Module):
     output_channel: int = 128
     depth: int = 50
     bn_running_average: bool = False
+    # Compute dtype for the conv stack (params stay f32; BN statistics are
+    # always f32).  bfloat16 doubles MXU conv throughput and halves HBM
+    # traffic on TPU; output is returned in f32 either way.
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype or x.dtype)
         if self.depth == 50:
-            enc = ResNetEncoder((3, 4, 6, 3), "bottleneck", self.bn_running_average, name="encoder")
+            enc = ResNetEncoder((3, 4, 6, 3), "bottleneck", self.bn_running_average, self.dtype, name="encoder")
             top = 2048
         elif self.depth == 18:
-            enc = ResNetEncoder((2, 2, 2, 2), "basic", self.bn_running_average, name="encoder")
+            enc = ResNetEncoder((2, 2, 2, 2), "basic", self.bn_running_average, self.dtype, name="encoder")
             top = 512
         else:
             raise ValueError(f"Unsupported ResNet depth: {self.depth}")
         b1, b2, b3, b4 = enc(x)
-        d = UpProjection(top // 2, self.bn_running_average, name="up1")(b4, b3.shape[-3:-1]) + b3
-        d = UpProjection(top // 4, self.bn_running_average, name="up2")(d, b2.shape[-3:-1]) + b2
-        d = UpProjection(top // 8, self.bn_running_average, name="up3")(d, b1.shape[-3:-1]) + b1
-        d = UpProjection(top // 16, self.bn_running_average, name="up4")(d, (b1.shape[-3] * 2, b1.shape[-2] * 2))
-        return nn.Conv(self.output_channel, (1, 1), use_bias=True, name="conv0")(d)
+        d = UpProjection(top // 2, self.bn_running_average, self.dtype, name="up1")(b4, b3.shape[-3:-1]) + b3
+        d = UpProjection(top // 4, self.bn_running_average, self.dtype, name="up2")(d, b2.shape[-3:-1]) + b2
+        d = UpProjection(top // 8, self.bn_running_average, self.dtype, name="up3")(d, b1.shape[-3:-1]) + b1
+        d = UpProjection(top // 16, self.bn_running_average, self.dtype, name="up4")(d, (b1.shape[-3] * 2, b1.shape[-2] * 2))
+        d = nn.Conv(self.output_channel, (1, 1), use_bias=True, dtype=self.dtype, name="conv0")(d)
+        return d.astype(jnp.float32)
 
 
 # Standard ImageNet stats, exported for checkpoints that expect normalized
