@@ -79,6 +79,14 @@ def main(batch_size: int = None):
     from pcrcg_tpu.registration.sampling import weighted_sample_topk
 
     cfg = Config(compute_dtype=compute_dtype)
+    if "PCRCG_BENCH_QCHUNK" in os.environ:
+        import dataclasses
+
+        cfg = cfg.replace(
+            budgets=dataclasses.replace(
+                cfg.budgets, query_chunk=int(os.environ["PCRCG_BENCH_QCHUNK"])
+            )
+        )
     if image_feature:
         cfg = cfg.replace(
             image_feature=True,

@@ -179,7 +179,7 @@ class ResnetBottleneckBlock(nn.Module):
             name="KPConv",
             **self.config_kp,
         )
-        if self.strided and tiled_meta is not None and quarter <= 128:
+        if self.strided and tiled_meta is not None:
             # Candidate-DMA path: the conv reads its neighbor rows from
             # the pool search's candidate tiles in VMEM (zero row
             # gathers); the shortcut max-pool still gathers forward but
@@ -190,11 +190,31 @@ class ResnetBottleneckBlock(nn.Module):
 
                 lidx, tiles = tiled_meta
                 mp_tile = self.config_kp.get("tiled_meta_tile", 128)
-                shortcut = jnp.stack([
-                    max_pool_tiled(x[b], neighb_inds[b], lidx[b], tiles[b],
-                                   tile=mp_tile)
-                    for b in range(x.shape[0])
-                ])
+                b, ns_, c_ = x.shape
+                nq_ = neighb_inds.shape[1]
+                if nq_ % 128 == 0 and ns_ % mp_tile == 0 and lidx.shape[1] == nq_:
+                    # One stacked dispatch for all B clouds (see the same
+                    # trick in KPConv's tiled branch): global neighbor
+                    # indices get the cloud's row base; shadow (>= Ns)
+                    # maps past the stacked array so pad_gather fills 0.
+                    n_per = ns_ // mp_tile
+                    ioff = (jnp.arange(b, dtype=neighb_inds.dtype) * ns_)[:, None, None]
+                    inds_st = jnp.where(
+                        neighb_inds >= ns_, b * ns_, neighb_inds + ioff
+                    ).reshape(b * nq_, -1)
+                    toff = (jnp.arange(b, dtype=tiles.dtype) * n_per)[:, None, None]
+                    shortcut = max_pool_tiled(
+                        x.reshape(b * ns_, c_), inds_st,
+                        lidx.reshape(b * nq_, -1),
+                        (tiles + toff).reshape(-1, tiles.shape[2]),
+                        tile=mp_tile,
+                    ).reshape(b, nq_, c_)
+                else:
+                    shortcut = jnp.stack([
+                        max_pool_tiled(x[bi], neighb_inds[bi], lidx[bi],
+                                       tiles[bi], tile=mp_tile)
+                        for bi in range(b)
+                    ])
             else:
                 shortcut = max_pool(x, neighb_inds)
         elif self.strided:

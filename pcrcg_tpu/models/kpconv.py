@@ -458,11 +458,6 @@ class KPConv(nn.Module):
         if (
             tiled_meta is not None
             and shortcut_x is None
-            # C8 > 128 overflows the 16MB scoped-VMEM limit in the
-            # residual-saving training forward (nx scratch + nx_out block
-            # are each [H, C8, 128] f32); wide upper-level convs are cheap
-            # anyway — keep them on the shared-rel fused path.
-            and self.in_channels <= 128
             and resolve_kpconv_impl(self.impl) == "fused"
             and jax.default_backend() == "tpu"
         ):
@@ -473,13 +468,38 @@ class KPConv(nn.Module):
                 jnp.ones((x.shape[0], x.shape[1], 1), jnp.float32)
                 if self.ones_features else x.astype(jnp.float32)
             )
-            outs = []
-            for b in range(q_pts.shape[0]):  # explicit loop: scalar-prefetch
-                out_b, nn_b = kpconv_tiled_ad(  # grids don't vmap
-                    q_pts[b], s_pts[b], feats[b], lidx[b], tiles[b],
-                    neighb_inds[b], kernel_points, weights,
+            b, nq = q_pts.shape[:2]
+            ns = s_pts.shape[1]
+            mt = self.tiled_meta_tile
+            if nq % 128 == 0 and ns % mt == 0 and lidx.shape[1] == nq:
+                # Stack the B clouds into ONE point set with per-cloud tile
+                # ranges (Z-order holds within each cloud; tile ids offset
+                # by the cloud's tile base) — one Pallas dispatch instead
+                # of B (scalar-prefetch grids don't vmap).  gidx is only a
+                # shape-carrier for the custom VJP (the backward scatters
+                # via lidx/tiles), so a plain reshape suffices.
+                n_per = ns // mt
+                boff = (jnp.arange(b, dtype=tiles.dtype) * n_per)[:, None, None]
+                out, ncount = kpconv_tiled_ad(
+                    q_pts.reshape(b * nq, 3),
+                    s_pts.reshape(b * ns, 3),
+                    feats.reshape(b * ns, -1),
+                    lidx.reshape(b * nq, -1),
+                    (tiles + boff).reshape(-1, tiles.shape[2]),
+                    neighb_inds.reshape(b * nq, -1),
+                    kernel_points, weights,
                     float(self.kp_extent), self.influence, self.aggregation,
-                    tile=self.tiled_meta_tile,
+                    tile=mt,
+                )
+                out = out / ncount[:, None].astype(out.dtype)
+                return out.reshape(b, nq, -1)
+            outs = []
+            for bi in range(b):  # explicit loop: scalar-prefetch
+                out_b, nn_b = kpconv_tiled_ad(  # grids don't vmap
+                    q_pts[bi], s_pts[bi], feats[bi], lidx[bi], tiles[bi],
+                    neighb_inds[bi], kernel_points, weights,
+                    float(self.kp_extent), self.influence, self.aggregation,
+                    tile=mt,
                 )
                 outs.append(out_b / nn_b[:, None].astype(out_b.dtype))
             return jnp.stack(outs)

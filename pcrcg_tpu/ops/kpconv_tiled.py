@@ -56,22 +56,23 @@ def _build_kernel(
     # inputs
     q3_ref,  # [4, T] f32 — query x/y/z rows (+pad row)
     lidx_ref,  # [1, H, T] int32 — candidate-local ids (shadow = M*tile)
-    supa_ref,  # [2C4, Ns_pad] bf16 in ANY — hi/lo rows of [xyz|pad|feats]
+    supa_ref,  # [n_tiles, c_tiles, rows_pad, tile] bf16 in ANY
     kp_ref,  # [K, 3] f32
-    w_ref,  # [K, C8, D] f32
+    w_ref,  # [K, c_blk, d_blk] f32
     # outputs
-    out_ref,  # [T, D]
+    out_ref,  # [T, d_blk]
     nn_ref,  # [T, 1]
-    nx_out_ref,  # [H, C8, T] f32 (residuals; dummy [1,1,1] when unused)
+    nx_out_ref,  # [H, c_blk, T] f32 (residuals; dummy [1,1,1] when unused)
     rx_out_ref,  # [H, T] (residuals)
     ry_out_ref,
     rz_out_ref,
     # scratch
-    canda_ref,  # [2C4, CAND] bf16
-    nx_ref,  # [H, C8, T] f32
+    canda_ref,  # [rows_pad, CAND] bf16
+    nx_ref,  # [H, c_blk, T] f32
     rxyz_ref,  # [3, H, T] f32
     wgt_ref,  # [K, H, T] f32
-    acc_ref,  # [K, C8, T] f32
+    acc_ref,  # [K, c_blk, T] f32
+    hsum_ref,  # [H, T] f32 — per-neighbor channel sums across c blocks
     sem,  # DMA semaphore
     *,
     kp_extent: float,
@@ -82,19 +83,31 @@ def _build_kernel(
     tile: int,
     h_count: int,
     save_residuals: bool,
+    c_tiles: int,
+    d_tiles: int,
 ):
+    """Grid (g, jd, jc), c innermost: each step covers one (query group,
+    output block, channel block).  Every channel block carries the 8
+    coordinate header rows, so rel/influence are recomputed per step (a few
+    µs of VPU) instead of holding cross-step scratch; the out tile
+    accumulates over jc; nn/residual blocks are written on their FINAL
+    visit (their index maps ignore jd, and Pallas only keeps output blocks
+    resident across consecutive revisits)."""
     g = pl.program_id(0)
+    jd = pl.program_id(1)
+    jc = pl.program_id(2)
     cand = m_tiles * tile
 
-    # 1. DMA the candidate tiles.  supa is stored TILE-MAJOR
-    # ([n_tiles, rows, tile]) so each tile is ONE contiguous HBM burst —
-    # slicing a row-major [rows, Ns] array at 128 lanes would shatter every
-    # copy into `rows` 256-byte segments and strangle the DMA engine.
+    # 1. DMA the candidate tiles for this channel block.  supa is stored
+    # TILE-MAJOR ([n_tiles, c_tiles, rows, tile]) so each tile is ONE
+    # contiguous HBM burst — slicing a row-major [rows, Ns] array at 128
+    # lanes would shatter every copy into `rows` 256-byte segments and
+    # strangle the DMA engine.
     copies = []
     for m in range(m_tiles):
         t_id = tiles_ref[g, m]
         cp = pltpu.make_async_copy(
-            supa_ref.at[t_id],
+            supa_ref.at[t_id, jc],
             canda_ref.at[:, pl.ds(m * tile, tile)],
             sem,
         )
@@ -107,8 +120,8 @@ def _build_kernel(
     # gather: exactly one 1 per column).  Coords AND features ride the same
     # bf16 hi/lo array: one dot per h, exact to ~2^-24 after recombination.
     canda = canda_ref[:]  # [rows_pad, CAND] bf16 (junk pad rows at bottom)
-    c8 = nx_ref.shape[1]
-    c4 = 8 + c8
+    c_blk = nx_ref.shape[1]
+    c4 = 8 + c_blk
     # Process HB h-steps per matmul: one [rows, CAND] @ [CAND, HB*T] dot
     # amortizes instruction overhead ~HB-fold vs per-h dots.
     hb = 8
@@ -142,17 +155,39 @@ def _build_kernel(
     for k in range(k_count):
         acc_ref[k] = jnp.zeros_like(acc_ref[0])
 
-    def h_step(h, count):
-        nxh = nx_ref[h]  # [C8, T]
+    first_d = jd == 0
+
+    @pl.when(jnp.logical_and(first_d, jc == 0))
+    def _():
+        hsum_ref[:] = jnp.zeros_like(hsum_ref)
+
+    def h_step(h, _):
+        nxh = nx_ref[h]  # [c_blk, T]
         for k in range(k_count):
             acc_ref[k] += wgt_ref[k, h][None, :] * nxh
-        # neighbor-count heuristic (reference blocks.py:369-372)
-        return count + (jnp.sum(nxh, axis=0) > 0.0).astype(jnp.float32)
 
-    count = jax.lax.fori_loop(
-        0, h_count, h_step, jnp.zeros((_T,), jnp.float32)
-    )
-    nn_ref[:] = jnp.maximum(count, 1.0)[:, None]
+        # Per-neighbor feature sums over ALL channel blocks (for the
+        # neighbor-count heuristic, reference blocks.py:369-372).
+        @pl.when(first_d)
+        def _():
+            hsum_ref[h, :] += jnp.sum(nxh, axis=0)
+
+        return 0
+
+    jax.lax.fori_loop(0, h_count, h_step, 0)
+
+    # nn/nx/rel outputs have jd-independent index maps, so their blocks are
+    # revisited once per d step; Pallas only keeps output blocks resident
+    # across CONSECUTIVE revisits, so each such block must be written on its
+    # FINAL visit (a non-writing later visit would flush stale VMEM over
+    # it).  hsum lives in scratch (persists across steps), so the count can
+    # be finalized on the last step even though it accumulated at jd == 0.
+    last_d = jd == d_tiles - 1
+
+    @pl.when(jnp.logical_and(last_d, jc == c_tiles - 1))
+    def _():
+        count = jnp.sum((hsum_ref[:] > 0.0).astype(jnp.float32), axis=0)
+        nn_ref[:] = jnp.maximum(count, 1.0)[:, None]
 
     out = jax.lax.dot_general(
         acc_ref[0], w_ref[0], (((0,), (0,)), ((), ())),
@@ -163,13 +198,29 @@ def _build_kernel(
             acc_ref[k], w_ref[k], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    out_ref[:] = out.astype(out_ref.dtype)
+
+    @pl.when(jc == 0)
+    def _():
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    @pl.when(jc > 0)
+    def _():
+        out_ref[:] += out.astype(out_ref.dtype)
 
     if save_residuals:
-        nx_out_ref[:] = nx_ref[:]
-        rx_out_ref[:] = rxyz_ref[0]
-        ry_out_ref[:] = rxyz_ref[1]
-        rz_out_ref[:] = rxyz_ref[2]
+        # Same final-visit rule: the nx block for channel block jc is last
+        # visited on the last d step (nx_ref holds the same recomputed rows
+        # there); the rel planes are identical across jc, written on the
+        # very last step of the group.
+        @pl.when(last_d)
+        def _():
+            nx_out_ref[:] = nx_ref[:]
+
+        @pl.when(jnp.logical_and(last_d, jc == c_tiles - 1))
+        def _():
+            rx_out_ref[:] = rxyz_ref[0]
+            ry_out_ref[:] = rxyz_ref[1]
+            rz_out_ref[:] = rxyz_ref[2]
 
 
 def _split_hi_lo(x: jnp.ndarray) -> jnp.ndarray:
@@ -242,30 +293,57 @@ def kpconv_tiled(
     m_tiles = tiles.shape[1]
     g_count = tiles.shape[0]
 
-    # Support rows, padded to the search's tile grid: [xyz | 5 pad rows |
-    # features], all in ONE bf16 hi/lo array (see _build_kernel).
+    # Channel blocking: up to 128 input channels per block (VMEM-sized);
+    # wide layers (C = 256/512 at upper pyramid levels) run c_tiles blocks
+    # per group, each carrying its own 8 coordinate header rows.
+    if c_in <= 128:
+        c8 = max(8, ((c_in + 7) // 8) * 8)
+    else:
+        c8 = ((c_in + 127) // 128) * 128
+    c_blk = min(c8, 128)
+    c_tiles = c8 // c_blk
+
+    # Support rows, padded to the search's tile grid: per channel block
+    # [xyz | 5 pad rows | c_blk features], all in ONE bf16 hi/lo array
+    # (see _build_kernel).
     ns_pad = ((ns + tile - 1) // tile) * tile
-    c8 = max(8, ((c_in + 7) // 8) * 8)
     base = jnp.zeros((8 + c8, ns_pad), jnp.float32)
     base = base.at[:3, :ns].set(s_pts.T.astype(jnp.float32))
     base = base.at[3, :ns].set(1.0)
     base = base.at[8 : 8 + c_in, :ns].set(s_feats.T.astype(jnp.float32))
-    # [2*(8+c8) + 8, Ns_pad] bf16: hi rows, lo rows, then a third limb for
-    # the coord rows (geometry must stay ~f32-exact).
-    supa = jnp.concatenate([_split_hi_lo(base), _third_limb(base[:8])], axis=0)
-    # Tile-major layout: [n_tiles, rows, tile] — one contiguous burst/tile.
-    rows = supa.shape[0]
+    # Per block: [2*(8+c_blk) + 8] bf16 rows — hi rows, lo rows, then a
+    # third limb for the coord rows (geometry must stay ~f32-exact).
+    header = base[:8]
+    blocks = []
+    for jc in range(c_tiles):
+        blk = jnp.concatenate(
+            [header, base[8 + jc * c_blk : 8 + (jc + 1) * c_blk]], axis=0
+        )
+        blocks.append(
+            jnp.concatenate([_split_hi_lo(blk), _third_limb(header)], axis=0)
+        )
+    supa = jnp.stack(blocks, axis=0)  # [c_tiles, rows, Ns_pad]
+    rows = supa.shape[1]
     rows_pad = ((rows + 15) // 16) * 16  # bf16 sublane tiling
     if rows != rows_pad:
-        supa = jnp.pad(supa, ((0, rows_pad - rows), (0, 0)))
-    supa = supa.reshape(rows_pad, ns_pad // tile, tile).transpose(1, 0, 2)
+        supa = jnp.pad(supa, ((0, 0), (0, rows_pad - rows), (0, 0)))
+    # Tile-major layout: [n_tiles, c_tiles, rows, tile] — one contiguous
+    # burst per (tile, channel block).
+    supa = supa.reshape(c_tiles, rows_pad, ns_pad // tile, tile).transpose(
+        2, 0, 1, 3
+    )
 
     w8 = weights
     if c_in != c8:
         w8 = jnp.pad(weights, ((0, 0), (0, c8 - c_in), (0, 0)))
     d_pad = max(128, ((d + 127) // 128) * 128)
+    if d_pad > 256:
+        # Output blocked at 256 lanes: d_pad must divide evenly.
+        d_pad = ((d_pad + 255) // 256) * 256
     if d != d_pad:
         w8 = jnp.pad(w8, ((0, 0), (0, 0), (0, d_pad - d)))
+    d_blk = min(d_pad, 256)
+    d_tiles = d_pad // d_blk
 
     nq_pad = g_count * _T
     q3 = jnp.zeros((4, nq_pad), jnp.float32)
@@ -282,6 +360,8 @@ def kpconv_tiled(
         tile=tile,
         h_count=h_count,
         save_residuals=save_residuals,
+        c_tiles=c_tiles,
+        d_tiles=d_tiles,
     )
     cand = m_tiles * tile
     res_shape = (h_count, c8, nq_pad) if save_residuals else (1, 1, 1)
@@ -289,40 +369,45 @@ def kpconv_tiled(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(g_count,),
+        grid=(g_count, d_tiles, c_tiles),
         in_specs=[
-            pl.BlockSpec((4, _T), lambda g, t: (0, g)),
-            pl.BlockSpec((1, h_count, _T), lambda g, t: (g, 0, 0)),
+            pl.BlockSpec((4, _T), lambda g, jd, jc, t: (0, g)),
+            pl.BlockSpec((1, h_count, _T), lambda g, jd, jc, t: (g, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((k_count, 3), lambda g, t: (0, 0)),
-            pl.BlockSpec((k_count, c8, d_pad), lambda g, t: (0, 0, 0)),
+            pl.BlockSpec((k_count, 3), lambda g, jd, jc, t: (0, 0)),
+            pl.BlockSpec((k_count, c_blk, d_blk), lambda g, jd, jc, t: (0, jc, jd)),
         ],
         out_specs=[
-            pl.BlockSpec((_T, d_pad), lambda g, t: (g, 0)),
-            pl.BlockSpec((_T, 1), lambda g, t: (g, 0)),
+            pl.BlockSpec((_T, d_blk), lambda g, jd, jc, t: (g, jd)),
+            pl.BlockSpec((_T, 1), lambda g, jd, jc, t: (g, 0)),
             pl.BlockSpec(
-                (res_shape[0], res_shape[1], _T if save_residuals else 1),
-                (lambda g, t: (0, 0, g)) if save_residuals else (lambda g, t: (0, 0, 0)),
+                (res_shape[0], min(res_shape[1], c_blk), _T if save_residuals else 1),
+                (lambda g, jd, jc, t: (0, jc, g)) if save_residuals
+                else (lambda g, jd, jc, t: (0, 0, 0)),
             ),
             pl.BlockSpec(
                 (plane_shape[0], _T if save_residuals else 1),
-                (lambda g, t: (0, g)) if save_residuals else (lambda g, t: (0, 0)),
+                (lambda g, jd, jc, t: (0, g)) if save_residuals
+                else (lambda g, jd, jc, t: (0, 0)),
             ),
             pl.BlockSpec(
                 (plane_shape[0], _T if save_residuals else 1),
-                (lambda g, t: (0, g)) if save_residuals else (lambda g, t: (0, 0)),
+                (lambda g, jd, jc, t: (0, g)) if save_residuals
+                else (lambda g, jd, jc, t: (0, 0)),
             ),
             pl.BlockSpec(
                 (plane_shape[0], _T if save_residuals else 1),
-                (lambda g, t: (0, g)) if save_residuals else (lambda g, t: (0, 0)),
+                (lambda g, jd, jc, t: (0, g)) if save_residuals
+                else (lambda g, jd, jc, t: (0, 0)),
             ),
         ],
         scratch_shapes=[
             pltpu.VMEM((rows_pad, cand), jnp.bfloat16),
-            pltpu.VMEM((h_count, c8, _T), jnp.float32),
+            pltpu.VMEM((h_count, c_blk, _T), jnp.float32),
             pltpu.VMEM((3, h_count, _T), jnp.float32),
             pltpu.VMEM((k_count, h_count, _T), jnp.float32),
-            pltpu.VMEM((k_count, c8, _T), jnp.float32),
+            pltpu.VMEM((k_count, c_blk, _T), jnp.float32),
+            pltpu.VMEM((h_count, _T), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -415,18 +500,19 @@ def _scatter_ds_feats(dnx_t, lidx, tiles, ns, c_in, tile, interpret=False):
     h_count, c8, nq_pad = dnx_t.shape
     g_count, m_tiles = tiles.shape
     cand = m_tiles * tile
+    c_blk = min(c8, 128)
     lidx_t = lidx.reshape(g_count, _T, h_count).transpose(0, 2, 1)  # [G,H,T]
 
     dcand = pl.pallas_call(
         functools.partial(_dcand_kernel, h_count=h_count, cand=cand),
-        grid=(g_count,),
+        grid=(g_count, c8 // c_blk),
         in_specs=[
-            pl.BlockSpec((1, h_count, _T), lambda g: (g, 0, 0)),
-            pl.BlockSpec((h_count, c8, _T), lambda g: (0, 0, g)),
+            pl.BlockSpec((1, h_count, _T), lambda g, jc: (g, 0, 0)),
+            pl.BlockSpec((h_count, c_blk, _T), lambda g, jc: (0, jc, g)),
         ],
-        out_specs=pl.BlockSpec((1, c8, cand), lambda g: (g, 0, 0)),
+        out_specs=pl.BlockSpec((1, c_blk, cand), lambda g, jc: (g, jc, 0)),
         out_shape=jax.ShapeDtypeStruct((g_count, c8, cand), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((c8, cand), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((c_blk, cand), jnp.float32)],
         interpret=interpret,
     )(lidx_t, dnx_t)
     return _tile_block_scatter(dcand, tiles, ns, c_in, tile)

@@ -51,8 +51,9 @@ def radius_search_tiled(
             group's candidate block (m_tiles·tile entries; shadow =
             m_tiles·tile);
       tiles [Nq/128, m_tiles] int32 — the candidate tile ids per group.
-    Returns (idx, lidx, tiles), or (idx, None, None) on the dense
-    fallback (cloud too small to prune)."""
+    Returns (idx, lidx, tiles); on the dense fallback (cloud too small to
+    prune) the metadata lists ALL tiles per group (identity local indices,
+    exact)."""
     nq = queries.shape[0]
     ns = supports.shape[0]
 
@@ -60,11 +61,23 @@ def radius_search_tiled(
     smask = _pad_rows(support_mask, tile, False)
     n_tiles = sup.shape[0] // tile
     if n_tiles <= m_tiles:
-        # Nothing to prune — the dense search is already minimal.
+        # Nothing to prune — the dense search is already minimal.  Still
+        # emit candidate metadata when asked: ALL tiles are candidates, so
+        # local indices are the global ones (identity, exact) — this keeps
+        # the candidate-DMA KPConv kernel available at small upper pyramid
+        # levels (L3's 6 tiles at bench sizes) where pruning is moot.
         dense = radius_search(queries, supports, support_mask, radius, k, query_chunk)
-        if return_local:
-            return dense, None, None
-        return dense
+        if not return_local:
+            return dense
+        g_count = (nq + _Q_TILE - 1) // _Q_TILE
+        nq_pad = g_count * _Q_TILE
+        idx_p = jnp.full((nq_pad, k), ns, jnp.int32).at[:nq].set(dense)
+        shadow = jnp.int32(n_tiles * tile)
+        lidx = jnp.where(idx_p == ns, shadow, idx_p).astype(jnp.int32)
+        tiles_all = jnp.broadcast_to(
+            jnp.arange(n_tiles, dtype=jnp.int32)[None, :], (g_count, n_tiles)
+        )
+        return dense, lidx, tiles_all
 
     sup_tiles = sup.reshape(n_tiles, tile, 3)
     tmask = smask.reshape(n_tiles, tile)

@@ -85,6 +85,98 @@ def test_tiled_kernel_gradients_match_xla(rng):
     np.testing.assert_allclose(np.asarray(dw_got), np.asarray(dw_ref), rtol=1e-3, atol=1e-4)
 
 
+def test_tiled_kernel_wide_channels(rng):
+    """c_tiles > 1 and d_tiles > 1 (the L2/L3 block widths): forward and
+    gradients still match the XLA path through the channel-blocked grid."""
+    q, sup, feats, gidx, lidx, tiles, kp, w = _setup(rng, c=200, d=300)
+    extent = 0.08
+    want = kpconv(q, sup, gidx, feats, kp, w, extent)
+    out, nn = kpconv_tiled(
+        q, sup, feats, lidx, tiles, kp, w, extent, interpret=True, tile=32,
+    )
+    got = out / nn[:, None]
+
+    # The bf16 hi/lo limb error is relative to the CONTRACTION SCALE, not
+    # the (possibly cancelled) output entry: ~1e-5 of max|out| per array
+    # (measured 5e-6 fwd / 1.5e-5 grads at these shapes).
+    def assert_close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-3, atol=1e-4 * max(np.abs(b).max(), 1.0)
+        )
+
+    assert_close(got, want)
+
+    cot = jnp.asarray(
+        np.random.default_rng(2).normal(size=(q.shape[0], w.shape[2])).astype(np.float32)
+    )
+
+    def loss_ref(f_, w_):
+        out_ = kpconv(q, sup, gidx, f_, kp, w_, extent)
+        return jnp.sum(out_ * cot)
+
+    def loss_tiled(f_, w_):
+        out_, nn_ = kpconv_tiled_ad(
+            q, sup, f_, lidx, tiles, gidx, kp, w_, extent, interpret=True,
+            tile=32,
+        )
+        return jnp.sum(out_ / nn_[:, None] * cot)
+
+    df_ref, dw_ref = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    df_got, dw_got = jax.grad(loss_tiled, argnums=(0, 1))(feats, w)
+    assert_close(df_got, df_ref)
+    assert_close(dw_got, dw_ref)
+
+
+def test_tiled_kernel_stacked_clouds(rng):
+    """Stacking B clouds into one point set with per-cloud tile offsets
+    (the one-dispatch batching in models/kpconv.py and blocks.py) matches
+    the per-cloud calls exactly."""
+    from pcrcg_tpu.models.blocks import max_pool
+    from pcrcg_tpu.ops.kpconv_tiled import max_pool_tiled
+
+    tile = 32
+    per = []
+    for seed in (5, 6):
+        per.append(_setup(np.random.default_rng(seed), nq=128, ns=608))
+    kp, w = per[0][6], per[0][7]
+    extent = 0.08
+    nq, ns = 128, per[0][1].shape[0]
+    n_per = ns // tile
+    assert ns % tile == 0 and nq % 128 == 0
+
+    q_st = jnp.concatenate([p[0] for p in per])
+    s_st = jnp.concatenate([p[1] for p in per])
+    f_st = jnp.concatenate([p[2] for p in per])
+    lidx_st = jnp.concatenate([p[4] for p in per])
+    tiles_st = jnp.concatenate([p[5] + b * n_per for b, p in enumerate(per)])
+    out_st, nn_st = kpconv_tiled(
+        q_st, s_st, f_st, lidx_st, tiles_st, kp, w, extent,
+        interpret=True, tile=tile,
+    )
+    got = np.asarray(out_st / nn_st[:, None])
+    for b, p in enumerate(per):
+        q, sup, feats, gidx, lidx, tiles = p[:6]
+        out_b, nn_b = kpconv_tiled(
+            q, sup, feats, lidx, tiles, kp, w, extent, interpret=True, tile=tile,
+        )
+        want = np.asarray(out_b / nn_b[:, None])
+        np.testing.assert_allclose(got[b * nq : (b + 1) * nq], want, rtol=1e-6, atol=1e-6)
+
+    # Stacked shortcut max-pool: global indices offset per cloud, shadow
+    # mapped past the stacked array (pad_gather fills zero).
+    ioff = jnp.arange(2, dtype=jnp.int32)[:, None, None] * ns
+    gidx_all = jnp.stack([p[3] for p in per])
+    inds_st = jnp.where(gidx_all >= ns, 2 * ns, gidx_all + ioff).reshape(2 * nq, -1)
+    mp_st = max_pool_tiled(f_st, inds_st, lidx_st, tiles_st, tile=tile, interpret=True)
+    for b, p in enumerate(per):
+        want_mp = max_pool(p[2][None], p[3][None])[0]
+        np.testing.assert_allclose(
+            np.asarray(mp_st[b * nq : (b + 1) * nq]), np.asarray(want_mp),
+            rtol=1e-6, atol=1e-6,
+        )
+
+
 def test_max_pool_tiled_matches_xla(rng):
     from pcrcg_tpu.models.blocks import max_pool
     from pcrcg_tpu.ops.kpconv_tiled import max_pool_tiled
