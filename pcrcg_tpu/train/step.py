@@ -68,18 +68,41 @@ def pair_loss(
     return stats
 
 
-def batched_stats(model, variables, cfg: Config, key, batch: PairBatch, images=None,
-                  sharded: bool = False):
-    keys = jax.random.split(key, batch.batch_size)
+def _stats_over_pairs(model, variables, cfg: Config, keys, batch: PairBatch,
+                      images=None):
+    """Mean loss stats over the batch via ``lax.map`` (NOT vmap): the body
+    compiles ONCE and runs per pair — no batching rules, so the Pallas
+    scalar-prefetch kernels (candidate-DMA KPConv) stay usable; per-pair
+    work is linear in pairs anyway (PERF.md: batch=4 was slower than 4x
+    batch=1)."""
     base = (keys, batch.points, batch.masks, batch.features, batch.rot, batch.trans)
     opt = {"images": images, "raw_points": batch.raw_points}
     present = [k for k, v in opt.items() if v is not None]
+
+    def fn(args):
+        k, p, m, f, r, t, *rest = args
+        kw = dict(zip(present, rest))
+        return pair_loss(model, variables, cfg, k, p, m, f, r, t, **kw)
+
+    stats = jax.lax.map(fn, (*base, *(opt[k] for k in present)))
+    return jax.tree_util.tree_map(jnp.mean, stats)
+
+
+def batched_stats(model, variables, cfg: Config, key, batch: PairBatch, images=None,
+                  sharded: bool = False):
+    keys = jax.random.split(key, batch.batch_size)
 
     if sharded:
         # Mesh-sharded batch axis: vmap keeps the program SPMD so GSPMD can
         # partition pairs over 'data' (and the cloud axis over 'model').
         # The candidate-DMA Pallas kernel cannot be vmap-batched — mesh
-        # runs set cfg.kpconv_tiled=False (Trainer does this).
+        # runs through THIS path set cfg.kpconv_tiled=False (Trainer does
+        # this only when the cloud axis is active; pure data parallelism
+        # uses train_step_dp below, which keeps the fast kernels).
+        base = (keys, batch.points, batch.masks, batch.features, batch.rot, batch.trans)
+        opt = {"images": images, "raw_points": batch.raw_points}
+        present = [k for k, v in opt.items() if v is not None]
+
         def vfn(k, p, m, f, r, t, *rest):
             kw = dict(zip(present, rest))
             return pair_loss(model, variables, cfg, k, p, m, f, r, t, **kw)
@@ -87,17 +110,7 @@ def batched_stats(model, variables, cfg: Config, key, batch: PairBatch, images=N
         stats = jax.vmap(vfn)(*base, *(opt[k] for k in present))
         return jax.tree_util.tree_map(jnp.mean, stats)
 
-    def fn(args):
-        k, p, m, f, r, t, *rest = args
-        kw = dict(zip(present, rest))
-        return pair_loss(model, variables, cfg, k, p, m, f, r, t, **kw)
-
-    # lax.map, not vmap: the body compiles ONCE and runs per pair — no
-    # batching rules, so the Pallas scalar-prefetch kernels (candidate-DMA
-    # KPConv) stay usable; per-pair work is linear in pairs anyway
-    # (PERF.md: batch=4 was slower than 4x batch=1).
-    stats = jax.lax.map(fn, (*base, *(opt[k] for k in present)))
-    return jax.tree_util.tree_map(jnp.mean, stats)
+    return _stats_over_pairs(model, variables, cfg, keys, batch, images)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg", "sharded"))
@@ -113,6 +126,88 @@ def train_step(
     (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     new_state = state.apply_gradients(grads)
     return new_state, stats
+
+
+def _dp_in_specs(batch: PairBatch, images, batch_size: int):
+    """shard_map in_specs for (batch, keys, images): every PairBatch leaf
+    and per-pair image stack shards its leading pair axis on 'data';
+    batch-free image leaves (e.g. shared [4,4] intrinsics) replicate."""
+    from jax.sharding import PartitionSpec as P
+
+    batch_specs = jax.tree_util.tree_map(lambda _: P("data"), batch)
+    img_specs = None
+    if images is not None:
+        img_specs = {
+            k: P("data") if (v.ndim >= 1 and v.shape[0] == batch_size) else P()
+            for k, v in images.items()
+        }
+    return batch_specs, img_specs
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "mesh"))
+def train_step_dp(
+    model, cfg: Config, state: TrainState, batch: PairBatch, key, mesh,
+    images=None,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Pure data-parallel train step via ``shard_map``: each device runs the
+    plain per-pair ``lax.map`` body — so the scalar-prefetch Pallas kernels
+    (candidate-DMA KPConv, tiled max-pool) stay usable, unlike the
+    GSPMD-vmap path, which cannot batch them — and only the gradient/stat
+    ``pmean`` crosses chips (ICI within a host, DCN across hosts).
+
+    Requires the pair batch sharded over the mesh 'data' axis and the train
+    state replicated; semantics identical to ``train_step`` (same per-pair
+    keys, same mean reduction)."""
+    from jax.sharding import PartitionSpec as P
+
+    keys = jax.random.split(key, batch.batch_size)
+    batch_specs, img_specs = _dp_in_specs(batch, images, batch.batch_size)
+    other_vars = {k: v for k, v in state.variables().items() if k != "params"}
+
+    def shard_fn(params, other, batch_l, keys_l, images_l):
+        def loss_fn(p):
+            variables = dict(other, params=p)
+            stats = _stats_over_pairs(model, variables, cfg, keys_l, batch_l, images_l)
+            return stats["total"], stats
+
+        (_, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, "data")
+        stats = jax.lax.pmean(stats, "data")
+        return grads, stats
+
+    grads, stats = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), batch_specs, P("data"), img_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(state.params, other_vars, batch, keys, images)
+    return state.apply_gradients(grads), stats
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "mesh"))
+def eval_step_dp(
+    model, cfg: Config, state: TrainState, batch: PairBatch, key, mesh,
+    images=None,
+) -> Dict[str, jnp.ndarray]:
+    """Data-parallel eval twin of :func:`train_step_dp`."""
+    from jax.sharding import PartitionSpec as P
+
+    keys = jax.random.split(key, batch.batch_size)
+    batch_specs, img_specs = _dp_in_specs(batch, images, batch.batch_size)
+    variables = state.variables()
+
+    def shard_fn(vars_, batch_l, keys_l, images_l):
+        stats = _stats_over_pairs(model, vars_, cfg, keys_l, batch_l, images_l)
+        return jax.lax.pmean(stats, "data")
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), batch_specs, P("data"), img_specs),
+        out_specs=P(),
+        check_vma=False,
+    )(variables, batch, keys, images)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg", "sharded"))

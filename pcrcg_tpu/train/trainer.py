@@ -27,7 +27,13 @@ from pcrcg_tpu.models.pcrcg import PCRCG
 from pcrcg_tpu.ops.pyramid import build_pyramid_cfg
 from pcrcg_tpu.train.checkpoints import CheckpointManager
 from pcrcg_tpu.train.state import TrainState, create_train_state
-from pcrcg_tpu.train.step import eval_step, infer_step, train_step
+from pcrcg_tpu.train.step import (
+    eval_step,
+    eval_step_dp,
+    infer_step,
+    train_step,
+    train_step_dp,
+)
 from pcrcg_tpu.utils.logging import Logger
 from pcrcg_tpu.utils.timer import RunningStat, Stopwatch
 
@@ -137,10 +143,19 @@ class Trainer:
                     f"the data-parallel shard count {n_shards}"
                 )
             self.state = replicate(self.state, self.mesh)
-            if jax.default_backend() == "tpu" and self.cfg.kpconv_tiled:
-                # GSPMD mesh training vmaps over pairs; the candidate-DMA
-                # Pallas kernel cannot be vmap-batched — fall back to the
-                # merged-gather kernels for sharded steps.
+            # Pure data parallelism (no cloud/'model' axis) runs through
+            # shard_map (train_step_dp): each device executes the plain
+            # per-pair lax.map body, so the scalar-prefetch Pallas kernels
+            # stay usable.  Only the GSPMD-vmap path (cloud axis active)
+            # cannot batch them.
+            self.use_shard_map = (
+                self.multihost or self.mesh.shape.get("model", 1) == 1
+            )
+            if (
+                not self.use_shard_map
+                and jax.default_backend() == "tpu"
+                and self.cfg.kpconv_tiled
+            ):
                 self.cfg = self.cfg.replace(kpconv_tiled=False)
         self.ckpt = CheckpointManager(os.path.join(cfg.exp_dir, "checkpoints"))
         self.start_epoch = 0
@@ -216,10 +231,22 @@ class Trainer:
                 images = shard_images(images, self.mesh, batch.batch_size)
                 batch = shard_pair_batch(batch, self.mesh)
             sharded = self.mesh is not None
+            use_dp = sharded and getattr(self, "use_shard_map", False)
             if phase == "train":
-                self.state, stats = train_step(
-                    self.model, self.cfg, self.state, batch, self._next_key(), images,
-                    sharded=sharded,
+                if use_dp:
+                    self.state, stats = train_step_dp(
+                        self.model, self.cfg, self.state, batch,
+                        self._next_key(), self.mesh, images,
+                    )
+                else:
+                    self.state, stats = train_step(
+                        self.model, self.cfg, self.state, batch, self._next_key(),
+                        images, sharded=sharded,
+                    )
+            elif use_dp:
+                stats = eval_step_dp(
+                    self.model, self.cfg, self.state, batch, self._next_key(),
+                    self.mesh, images,
                 )
             else:
                 stats = eval_step(

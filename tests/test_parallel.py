@@ -53,6 +53,56 @@ def test_data_parallel_train_step():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_shard_map_train_step_matches_single_device():
+    """train_step_dp (shard_map data parallelism — the path that keeps the
+    scalar-prefetch Pallas kernels) matches the plain train_step bit-for-
+    tolerance on loss AND updated params."""
+    from pcrcg_tpu.train.step import eval_step, eval_step_dp, train_step_dp
+
+    cfg = tiny_test_config()
+    rng = np.random.default_rng(13)
+    samples = []
+    for _ in range(8):
+        base = rng.uniform(0, 0.5, size=(120, 3)).astype(np.float32)
+        samples.append(
+            dict(src_pcd=base, tgt_pcd=base[10:110], rot=np.eye(3), trans=np.zeros(3))
+        )
+    batch = make_pair_batch(samples, cfg.budgets.points[0])
+
+    model = KPFCNN(cfg)
+    pyr = build_pyramid(
+        batch.points[0], batch.masks[0], cfg.budgets, cfg.first_subsampling_dl, cfg.conv_radius
+    )
+    variables = model.init(jax.random.key(0), pyr, batch.features[0])
+    state = create_train_state(cfg, variables)
+
+    mesh = make_mesh(8)
+    sharded = shard_pair_batch(batch, mesh)
+    state_r = state.replace(
+        params=replicate(state.params, mesh),
+        constants=replicate(state.constants, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+        step=replicate(state.step, mesh),
+    )
+    new_state, stats = train_step_dp(
+        model, cfg, state_r, sharded, jax.random.key(1), mesh
+    )
+    assert np.isfinite(float(stats["total"]))
+
+    new_state_1, stats_1 = train_step(model, cfg, state, batch, jax.random.key(1))
+    np.testing.assert_allclose(float(stats["total"]), float(stats_1["total"]), rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(new_state_1.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    ev = eval_step_dp(model, cfg, state_r, sharded, jax.random.key(2), mesh)
+    ev_1 = eval_step(model, cfg, state, batch, jax.random.key(2))
+    np.testing.assert_allclose(float(ev["total"]), float(ev_1["total"]), rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_data_model_parallel_train_step():
     """4-way data x 2-way cloud ('model') sharding must run and match the
     single-device result."""
