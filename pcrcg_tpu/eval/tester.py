@@ -112,6 +112,21 @@ class IndoorTester:
         per_scene_tsfm = defaultdict(list)
         infos = dataset.infos
         idx = 0
+        # Serving-style pipelining: dispatch is async; the np.asarray
+        # readback is the completion barrier (~28 ms RTT on the tunnel
+        # runtime, PERF.md).  Keep `depth` pairs in flight and realize
+        # pair i-depth while pair i computes — same pattern as
+        # Trainer.run_epoch and bench.py.
+        depth = 2
+        from collections import deque
+
+        inflight: deque = deque()
+
+        def realize(item):
+            scene, ij, T = item
+            per_scene_pairs[scene].append(ij)
+            per_scene_tsfm[scene].append(np.asarray(T))
+
         for batch, images in loader:
             for b in range(batch.batch_size):
                 key, sub = jax.random.split(key)
@@ -128,9 +143,12 @@ class IndoorTester:
                 scene = scene_of(infos["src"][idx])
                 i = fragment_id(infos["tgt"][idx])
                 j = fragment_id(infos["src"][idx])
-                per_scene_pairs[scene].append((i, j))
-                per_scene_tsfm[scene].append(np.asarray(T))
+                inflight.append((scene, (i, j), T))
+                if len(inflight) > depth:
+                    realize(inflight.popleft())
                 idx += 1
+        while inflight:
+            realize(inflight.popleft())
         for scene in per_scene_pairs:
             n_frag = max(max(i, j) for i, j in per_scene_pairs[scene]) + 1
             write_trajectory(
@@ -155,6 +173,19 @@ class KITTITester:
     def run(self, loader, n_points: int = 5000, key=None) -> Dict:
         key = key if key is not None else jax.random.key(self.cfg.seed)
         rot_est, trans_est, rot_gt, trans_gt = [], [], [], []
+        # Depth-2 readback pipelining (see IndoorTester.run).
+        from collections import deque
+
+        inflight: deque = deque()
+
+        def realize(item):
+            T_dev, r_gt, t_gt = item
+            T = np.asarray(T_dev)
+            rot_est.append(T[:3, :3])
+            trans_est.append(T[:3, 3])
+            rot_gt.append(r_gt)
+            trans_gt.append(t_gt)
+
         for batch, images in loader:
             for b in range(batch.batch_size):
                 key, sub = jax.random.split(key)
@@ -163,11 +194,13 @@ class KITTITester:
                     batch.points[b], batch.masks[b], batch.features[b], sub, None,
                     n_points=n_points, distance_threshold=0.3, ransac_n=4,
                 )
-                T = np.asarray(res["transform"])
-                rot_est.append(T[:3, :3])
-                trans_est.append(T[:3, 3])
-                rot_gt.append(np.asarray(batch.rot[b]))
-                trans_gt.append(np.asarray(batch.trans[b]))
+                inflight.append(
+                    (res["transform"], np.asarray(batch.rot[b]), np.asarray(batch.trans[b]))
+                )
+                if len(inflight) > 2:
+                    realize(inflight.popleft())
+        while inflight:
+            realize(inflight.popleft())
         rot_est, rot_gt = np.stack(rot_est), np.stack(rot_gt)
         trans_est, trans_gt = np.stack(trans_est), np.stack(trans_gt)
         rre = rotation_error_deg(rot_est, rot_gt)
