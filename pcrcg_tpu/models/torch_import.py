@@ -137,6 +137,140 @@ def import_torch_resunet(state_dict, variables) -> tuple[dict, dict]:
     return {"params": params, "batch_stats": stats}, report
 
 
+def _kpfcnn_key_map(key: str):
+    """Reference KPFCNN state-dict key (models/architectures.py:35-176,
+    models/blocks.py, models/gcn.py) -> (collection, flax path, transform).
+
+    transform: None = copy, 't' = Linear [out,in] -> kernel [in,out],
+    'conv1d' = Conv1d [out,in,1] -> [in,out], 'conv2d' = Conv2d
+    [out,in,1,1] -> [in,out].  Returns None for keys that carry no state
+    on the flax side (InstanceNorm has no params) and raises KeyError for
+    keys we cannot map."""
+    parts = key.split(".")
+    if parts[0] in ("encoder_blocks", "decoder_blocks"):
+        blk = ("encoder_" if parts[0][0] == "e" else "decoder_") + parts[1]
+        rest = parts[2:]
+        if rest[0] == "KPConv":
+            if rest[1] == "weights":
+                return "params", (blk, "KPConv", "weights"), None
+            if rest[1] == "kernel_points":
+                return "constants", (blk, "KPConv", "kernel_points"), None
+        if rest[0] in ("unary1", "unary2", "unary_shortcut") and rest[1:] == ["mlp", "weight"]:
+            return "params", (blk, rest[0], "mlp", "kernel"), "t"
+        if rest == ["mlp", "weight"]:  # decoder unary / last_unary
+            return "params", (blk, "mlp", "kernel"), "t"
+        # BatchNormBlock: InstanceNorm1d (use_bn=True, every shipped
+        # config) has no parameters; the no-norm variant's learned bias
+        # maps onto our NormBlock bias (norm / norm_conv / unary*.norm).
+        if rest[-1] == "bias" and rest[-2].startswith("batch_norm"):
+            ours = {"batch_norm": "norm", "batch_norm_conv": "norm_conv"}[rest[-2]]
+            return "params", (blk,) + tuple(rest[:-2]) + (ours, "bias"), None
+        raise KeyError(key)
+    if parts[0] in ("bottle", "proj_gnn", "proj_score", "node_overlap_predict"):
+        if parts[1] == "weight":
+            return "params", (parts[0], "kernel"), "conv1d"
+        return "params", (parts[0], "bias"), None
+    if parts[0] == "epsilon":
+        return "params", ("epsilon",), None
+    if parts[0] == "gnn":
+        i = parts[2]
+        sub = parts[3]
+        if sub.startswith("conv"):  # SelfAttention Conv2d, bias=False
+            return "params", ("gnn", f"self_{i}", sub, "kernel"), "conv2d"
+        if sub == "attn":
+            if parts[4] == "proj":
+                mod = {"0": "proj_q", "1": "proj_k", "2": "proj_v"}[parts[5]]
+                leaf = parts[6]
+            else:
+                mod, leaf = "merge", parts[5]
+            path = ("gnn", f"cross_{i}", "attn", mod)
+            if leaf == "weight":
+                return "params", path + ("kernel",), "conv1d"
+            return "params", path + ("bias",), None
+        if sub == "mlp":  # Sequential [Conv1d, InstanceNorm, ReLU, Conv1d]
+            mod = {"0": "mlp1", "3": "mlp2"}[parts[4]]
+            if parts[5] == "weight":
+                return "params", ("gnn", f"cross_{i}", mod, "kernel"), "conv1d"
+            return "params", ("gnn", f"cross_{i}", mod, "bias"), None
+        raise KeyError(key)
+    if parts[0] == "folding1":  # Sequential [Linear, ReLU]*5
+        name = f"folding1_{int(parts[1]) // 2}"
+        if parts[2] == "weight":
+            return "params", (name, "kernel"), "t"
+        return "params", (name, "bias"), None
+    if parts[0] in ("linear1", "linear2"):
+        if parts[1] == "weight":
+            return "params", (parts[0], "kernel"), "t"
+        return "params", (parts[0], "bias"), None
+    raise KeyError(key)
+
+
+def import_kpfcnn_state_dict(state_dict, variables, strict: bool = True):
+    """Import a reference-format torch KPFCNN state dict into our KPFCNN
+    flax ``variables`` ({'params', 'constants'}): trained weights AND the
+    checkpoint's kernel-point dispositions (the reference jitters each
+    layer's kernel at init, kernel_points.py:433-468 — using the
+    checkpoint's exact dispositions is required for numerical parity).
+
+    Returns (new_variables, report).  With ``strict`` (default) raises on
+    any unmapped/mismatched checkpoint key or untouched flax KPConv/mlp
+    leaf; otherwise skips and reports, like the reference's
+    ``load_state_dict(strict=False)`` pretrain flow (lib/trainer.py)."""
+    def to_mutable(d):
+        return {k: to_mutable(v) if isinstance(v, dict) else v for k, v in dict(d).items()}
+
+    out = {k: to_mutable(v) for k, v in dict(variables).items()}
+    loaded, skipped, errors = [], [], []
+    for key, tensor in state_dict.items():
+        k = key[len("module."):] if key.startswith("module.") else key
+        if k.endswith("num_batches_tracked") or ".running_" in k:
+            skipped.append(key)
+            continue
+        try:
+            coll, path, tf = _kpfcnn_key_map(k)
+        except KeyError:
+            errors.append(f"unmapped key: {key}")
+            continue
+        value = np.asarray(
+            tensor.detach().numpy() if hasattr(tensor, "detach") else tensor,
+            np.float32,
+        )
+        if tf == "t":
+            value = value.T
+        elif tf == "conv1d":
+            value = value[:, :, 0].T
+        elif tf == "conv2d":
+            value = value[:, :, 0, 0].T
+        tree = out.get(coll)
+        if tree is None or not _set_path(tree, path, value):
+            errors.append(f"no match/shape for: {key} -> {coll}/{'/'.join(path)}")
+            continue
+        loaded.append(key)
+    if strict and errors:
+        raise ValueError(
+            "KPFCNN import failed:\n  " + "\n  ".join(errors[:20])
+            + (f"\n  (+{len(errors)-20} more)" if len(errors) > 20 else "")
+        )
+    report = {
+        "loaded": len(loaded), "skipped": len(skipped), "errors": errors,
+    }
+    return out, report
+
+
+def load_kpfcnn(path: str, variables, strict: bool = True):
+    """Load a reference torch KPFCNN checkpoint file (the reference's
+    ``_load_pretrain`` 'state_dict' layout, lib/trainer.py:163-184) into
+    our KPFCNN variables."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model", "model_state_dict"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            ckpt = ckpt[key]
+            break
+    return import_kpfcnn_state_dict(ckpt, variables, strict=strict)
+
+
 def load_backbone2d(path: str, variables):
     """Load a torch .pth checkpoint file (reference init modes 'pri3d' /
     '3dmatch' / 'image_net', trainer.py:49-70) into flax variables."""

@@ -159,7 +159,25 @@ class Trainer:
                 self.cfg = self.cfg.replace(kpconv_tiled=False)
         self.ckpt = CheckpointManager(os.path.join(cfg.exp_dir, "checkpoints"))
         self.start_epoch = 0
-        if cfg.pretrain:
+        if cfg.pretrain and cfg.pretrain.endswith((".pth", ".pt", ".tar")):
+            # Reference-format torch checkpoint (lib/trainer.py:163-184
+            # _load_pretrain): import trained weights + the checkpoint's
+            # kernel dispositions directly into the flax variables.
+            from pcrcg_tpu.models.torch_import import load_kpfcnn
+
+            new_vars, report = load_kpfcnn(
+                cfg.pretrain,
+                {"params": self.state.params, "constants": self.state.constants},
+                strict=False,
+            )
+            self.state = self.state.replace(
+                params=new_vars["params"], constants=new_vars["constants"]
+            )
+            self.logger.write(
+                f"imported torch pretrain from {cfg.pretrain}: {report['loaded']} "
+                f"tensors ({len(report['errors'])} unmatched)\n"
+            )
+        elif cfg.pretrain:
             self.state, meta = self.ckpt.restore(self.state, path=cfg.pretrain)
             self.start_epoch = int(meta["epoch"]) + 1
             self.logger.write(f"restored pretrain from {cfg.pretrain} @epoch {meta['epoch']}\n")

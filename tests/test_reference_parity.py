@@ -332,3 +332,148 @@ def test_deformable_kpconv_matches_reference_torch(rng, modulated):
         )
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_kpfcnn_full_model_import_parity(rng):
+    """FULL-MODEL oracle: a reference torch KPFCNN (random init) exported
+    as a state dict, imported via torch_import.import_kpfcnn_state_dict,
+    must produce the same descriptors/scores as our KPFCNN on the same
+    pair — same neighbor lists fed to both (ours converted to the
+    reference's stacked-ragged batch layout).  Validates the checkpoint
+    importer AND the whole architecture transcription end to end."""
+    import jax
+    from pcrcg_tpu.data.pair import make_pair_batch
+    from pcrcg_tpu.models.kpfcnn import KPFCNN
+    from pcrcg_tpu.models.torch_import import import_kpfcnn_state_dict
+    from pcrcg_tpu.ops.pyramid import build_pyramid
+
+    cfg = tiny_test_config()
+
+    class RCfg:
+        architecture = list(cfg.architecture)
+        first_subsampling_dl = cfg.first_subsampling_dl
+        conv_radius = cfg.conv_radius
+        in_feats_dim = cfg.in_feats_dim
+        first_feats_dim = cfg.first_feats_dim
+        image_feature = False
+        img_num = 1
+        init_mode = ""
+        node_overlap = False
+        quaternion = False
+        num_kernel_points = cfg.num_kernel_points
+        final_feats_dim = cfg.final_feats_dim
+        gnn_feats_dim = cfg.gnn_feats_dim
+        num_head = cfg.num_head
+        dgcnn_k = cfg.dgcnn_k
+        nets = list(cfg.nets)
+        KP_extent = cfg.KP_extent
+        KP_influence = cfg.KP_influence
+        aggregation_mode = cfg.aggregation_mode
+        fixed_kernel_points = cfg.fixed_kernel_points
+        in_points_dim = 3
+        modulated = False
+        use_batch_norm = True
+        batch_norm_momentum = 0.02
+        deform_radius = 5.0
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    cwd = os.getcwd()
+    os.chdir(REF)  # load_kernels reads kernels/dispositions relatively
+    try:
+        from models.architectures import KPFCNN as RefKPFCNN
+
+        torch.manual_seed(3)
+        ref = RefKPFCNN(RCfg())
+    finally:
+        os.chdir(cwd)
+    ref.eval()
+    state_dict = {k: v for k, v in ref.state_dict().items()}
+
+    # Our pair + pyramid (exact searches on CPU).
+    cfg = cfg.replace(node_overlap=False, quaternion=False)
+    nprng = np.random.default_rng(7)
+    src = nprng.uniform(0, 0.5, size=(130, 3)).astype(np.float32)
+    tgt = (src[15:118] + nprng.normal(scale=0.003, size=(103, 3))).astype(np.float32)
+    batch = make_pair_batch(
+        [dict(src_pcd=src, tgt_pcd=tgt, rot=np.eye(3), trans=np.zeros(3))],
+        cfg.budgets.points[0],
+    )
+    pyr = build_pyramid(
+        batch.points[0], batch.masks[0], cfg.budgets,
+        cfg.first_subsampling_dl, cfg.conv_radius,
+    )
+
+    model = KPFCNN(cfg)
+    variables = model.init(jax.random.key(0), pyr, batch.features[0])
+    variables, report = import_kpfcnn_state_dict(state_dict, variables)
+    assert not report["errors"], report["errors"]
+    # Every KPConv weight and kernel disposition must have been imported.
+    n_kpconv = sum(1 for k in state_dict if k.endswith("KPConv.weights"))
+    assert n_kpconv == sum(
+        1 for b in cfg.architecture if ("simple" in b or "resnetb" in b)
+    )
+
+    got = model.apply(variables, pyr, batch.features[0])
+
+    # ---- Convert OUR pyramid to the reference's stacked-ragged batch ----
+    masks = [np.asarray(m) for m in pyr.masks]
+    reals = [[np.flatnonzero(m[c]) for c in range(2)] for m in masks]
+    lens = [[len(r[0]), len(r[1])] for r in reals]
+
+    def stack_idx(idx2, sup_lvl, q_lvl):
+        """Per-cloud padded neighbor lists -> stacked-real indices
+        (shadow = total stacked length)."""
+        total = sum(lens[sup_lvl])
+        cols = []
+        for c in range(2):
+            ns_pad = masks[sup_lvl][c].shape[0]
+            remap = np.full(ns_pad + 1, total, np.int64)
+            remap[reals[sup_lvl][c]] = (
+                np.arange(lens[sup_lvl][c]) + (0 if c == 0 else lens[sup_lvl][0])
+            )
+            cols.append(remap[np.asarray(idx2[c])[reals[q_lvl][c]]])
+        return torch.from_numpy(np.concatenate(cols, 0))
+
+    def stack_pts(lvl):
+        pts = np.asarray(pyr.points[lvl])
+        return torch.from_numpy(
+            np.concatenate([pts[0][reals[lvl][0]], pts[1][reals[lvl][1]]], 0)
+        )
+
+    n_levels = len(pyr.points)
+    ref_batch = {
+        "points": [stack_pts(l) for l in range(n_levels)],
+        "neighbors": [
+            stack_idx(pyr.neighbors[l], l, l) for l in range(n_levels)
+        ],
+        "pools": [
+            stack_idx(pyr.pools[l], l, l + 1) for l in range(n_levels - 1)
+        ],
+        "upsamples": [
+            stack_idx(pyr.upsamples[l], l + 1, l) for l in range(n_levels - 1)
+        ],
+        "stack_lengths": [torch.tensor(lens[l]) for l in range(n_levels)],
+        "features": torch.ones((sum(lens[0]), cfg.in_feats_dim)),
+        "src_pcd_raw": torch.from_numpy(src),
+        "tgt_pcd_raw": torch.from_numpy(tgt),
+    }
+    with torch.no_grad():
+        want = ref(ref_batch)
+
+    want_feats = want["feats_f"].numpy()
+    want_ov = want["scores_overlap"].numpy()
+    want_sal = want["scores_saliency"].numpy()
+
+    got_feats = np.concatenate(
+        [np.asarray(got["feats_f"][c])[reals[0][c]] for c in range(2)], 0
+    )
+    got_ov = np.concatenate(
+        [np.asarray(got["scores_overlap"][c])[reals[0][c]] for c in range(2)]
+    )
+    got_sal = np.concatenate(
+        [np.asarray(got["scores_saliency"][c])[reals[0][c]] for c in range(2)]
+    )
+    np.testing.assert_allclose(got_feats, want_feats, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got_ov, want_ov, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got_sal, want_sal, rtol=2e-3, atol=2e-3)
