@@ -477,3 +477,43 @@ def test_kpfcnn_full_model_import_parity(rng):
     np.testing.assert_allclose(got_feats, want_feats, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(got_ov, want_ov, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(got_sal, want_sal, rtol=2e-3, atol=2e-3)
+
+
+def test_load_kpfcnn_from_torch_file(tmp_path, rng):
+    """File-level wrapper: a torch.save'd {'state_dict': ...} checkpoint
+    (the reference's snapshot layout) loads through load_kpfcnn."""
+    import jax
+    from pcrcg_tpu.data.pair import make_pair_batch
+    from pcrcg_tpu.models.kpfcnn import KPFCNN
+    from pcrcg_tpu.models.torch_import import load_kpfcnn
+    from pcrcg_tpu.ops.pyramid import build_pyramid
+
+    cfg = tiny_test_config()
+    nprng = np.random.default_rng(8)
+    base = nprng.uniform(0, 0.5, size=(120, 3)).astype(np.float32)
+    batch = make_pair_batch(
+        [dict(src_pcd=base, tgt_pcd=base[10:110], rot=np.eye(3), trans=np.zeros(3))],
+        cfg.budgets.points[0],
+    )
+    pyr = build_pyramid(
+        batch.points[0], batch.masks[0], cfg.budgets,
+        cfg.first_subsampling_dl, cfg.conv_radius,
+    )
+    model = KPFCNN(cfg)
+    variables = model.init(jax.random.key(0), pyr, batch.features[0])
+
+    # Synthesize a reference-layout checkpoint carrying one recognizable
+    # tensor (an encoder KPConv weight) and assert it lands.
+    w = np.asarray(variables["params"]["encoder_0"]["KPConv"]["weights"])
+    marked = np.full_like(w, 0.125)
+    path = tmp_path / "model_best_recall.pth"
+    torch.save(
+        {"state_dict": {"encoder_blocks.0.KPConv.weights": torch.from_numpy(marked)},
+         "epoch": 3},
+        path,
+    )
+    new_vars, report = load_kpfcnn(str(path), variables, strict=False)
+    assert report["loaded"] == 1
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["params"]["encoder_0"]["KPConv"]["weights"]), marked
+    )
