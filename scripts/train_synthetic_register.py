@@ -53,10 +53,87 @@ def make_synthetic_pair(cloud: np.ndarray, rng, noise: float = 0.005,
     tgt0 = cloud[d < band]
     rot = random_rotation(rng, max_rot_deg)
     trans = rng.uniform(-1.0, 1.0, 3).astype(np.float32)
+    src0 = src
     tgt = tgt0 @ rot.T + trans
     src = src + rng.normal(scale=noise, size=src.shape)
     tgt = tgt + rng.normal(scale=noise, size=tgt.shape)
-    return src.astype(np.float32), tgt.astype(np.float32), rot, trans.astype(np.float32)
+    # src0/tgt0: the crops in the ORIGINAL cloud frame — procedural colors
+    # looked up there are identical on the overlap, like real RGB-D.
+    return (src.astype(np.float32), tgt.astype(np.float32), rot, trans,
+            src0.astype(np.float32), tgt0.astype(np.float32))
+
+
+_BASE_INTR = np.array(
+    [[577.87, 0, 319.5, 0], [0, 577.87, 239.5, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+    np.float64,
+)
+
+
+def procedural_colors(points: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Deterministic RGB 'texture' of world position: overlapping regions
+    of the two crops render identical colors from any view (the property
+    the real RGB-D data has and that the 2D branch exploits)."""
+    r = np.random.default_rng(seed)
+    w = r.normal(scale=6.0, size=(3, 3))
+    b = r.uniform(0, 2 * np.pi, 3)
+    return (0.5 + 0.5 * np.sin(points @ w + b)).astype(np.float32)
+
+
+def _lookat_world2cam(eye: np.ndarray, center: np.ndarray) -> np.ndarray:
+    """OpenCV-style world->camera [4,4]: +z forward toward ``center``.
+    Any orthonormal frame works — the lift uses the same matrix."""
+    f = center - eye
+    f = f / np.linalg.norm(f)
+    up = np.array([0.0, 1.0, 0.0])
+    if abs(np.dot(f, up)) > 0.95:
+        up = np.array([1.0, 0.0, 0.0])
+    r = np.cross(f, up)
+    r /= np.linalg.norm(r)
+    d = np.cross(f, r)
+    rot = np.stack([r, d, f])  # rows: camera x/y/z in world
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = rot
+    m[:3, 3] = -rot @ eye
+    return m
+
+
+def render_views(points: np.ndarray, colors: np.ndarray, img_num: int, rng,
+                 height: int = 240, width: int = 320):
+    """Pinhole renders of the colored cloud (nearest-point splats): color
+    [I,H,W,3], depth [I,H/2,W/2] (meters), valid [I,H/2,W/2], world2cam
+    [I,4,4] — the exact shapes the ImageLift consumes, geometry-consistent
+    with ops/projection.project_points (depth-consistency 0.1 m)."""
+    from pcrcg_tpu.ops.projection import adjust_intrinsic
+
+    h2, w2 = height // 2, width // 2
+    intr_f = adjust_intrinsic(_BASE_INTR, (640, 480), (width, height))
+    intr_h = adjust_intrinsic(_BASE_INTR, (640, 480), (w2, h2))
+    center = points.mean(0)
+    radius = float(np.linalg.norm(points - center, axis=1).max())
+    imgs = np.zeros((img_num, height, width, 3), np.float32)
+    deps = np.zeros((img_num, h2, w2), np.float32)
+    w2c = np.zeros((img_num, 4, 4), np.float32)
+    for i in range(img_num):
+        direction = rng.normal(size=3)
+        direction /= np.linalg.norm(direction)
+        eye = center + direction * (2.2 * radius)
+        m = _lookat_world2cam(eye, center)
+        w2c[i] = m
+        cam = points @ m[:3, :3].T + m[:3, 3]
+        z = cam[:, 2]
+        front = z > 0.05
+
+        def splat(intr, hh, ww, values, out):
+            u = (intr[0, 0] * cam[front, 0] / z[front] + intr[0, 2]).astype(np.int64)
+            v = (intr[1, 1] * cam[front, 1] / z[front] + intr[1, 2]).astype(np.int64)
+            ok = (u >= 0) & (u < ww) & (v >= 0) & (v < hh)
+            order = np.argsort(-z[front][ok])  # nearest written last -> wins
+            out[v[ok][order], u[ok][order]] = values[front][ok][order]
+
+        splat(intr_f, height, width, colors, imgs[i])
+        splat(intr_h, h2, w2, z, deps[i])
+    valid = (deps > 0).astype(np.float32)
+    return imgs, deps, valid, w2c, np.asarray(intr_h, np.float32)
 
 
 def protocol_rmse(t_est: np.ndarray, rot: np.ndarray, trans: np.ndarray,
@@ -86,6 +163,13 @@ def main():
     ap.add_argument("--saliency-after", type=int, default=10**9,
                     help="enable the saliency loss after this step (the "
                          "reference gates it on recall>0.3, trainer.py:417-420)")
+    ap.add_argument("--images", action="store_true",
+                    help="train the FULL color+geometry PCRCG: render "
+                         "img_num geometry-consistent views per cloud "
+                         "(procedural surface colors) and lift 2D features "
+                         "through the ResNet50-UNet ahead of KPFCNN")
+    ap.add_argument("--img-size", type=int, nargs=2, default=(240, 320),
+                    metavar=("H", "W"))
     args = ap.parse_args()
 
     from pcrcg_tpu.utils.jax_setup import enable_compilation_cache
@@ -115,30 +199,61 @@ def main():
     )
     cfg = Config(budgets=budgets, lr=args.lr, w_saliency_loss=0.0,
                  optimizer=args.optimizer)
+    if args.images:
+        cfg = cfg.replace(image_feature=True, in_feats_dim=129)
     cfg_sal = cfg.replace(w_saliency_loss=1.0)
     clouds = list(load_assets_pair())
     rng = np.random.default_rng(7)
+    ih, iw = args.img_size
 
     def sample_batch(r):
         cloud = clouds[int(r.integers(0, len(clouds)))]
-        src, tgt, rot, trans = make_synthetic_pair(cloud, r, max_rot_deg=args.max_rot_deg)
+        src, tgt, rot, trans, src0, tgt0 = make_synthetic_pair(
+            cloud, r, max_rot_deg=args.max_rot_deg
+        )
         batch = make_pair_batch(
             [dict(src_pcd=src, tgt_pcd=tgt, rot=rot, trans=trans)],
             cfg.budgets.points[0],
         )
-        return batch, (src, tgt, rot, trans)
+        images = None
+        if args.images:
+            import jax.numpy as _jnp
+
+            stacks = [
+                render_views(pts, procedural_colors(orig), cfg.img_num, r,
+                             height=ih, width=iw)
+                for pts, orig in ((src, src0), (tgt, tgt0))
+            ]
+            images = {
+                "colors": _jnp.asarray(np.stack([s[0] for s in stacks])),
+                "depths": _jnp.asarray(np.stack([s[1] for s in stacks])),
+                "valid_maps": _jnp.asarray(np.stack([s[2] for s in stacks])),
+                "world2cam": _jnp.asarray(np.stack([s[3] for s in stacks])),
+                "intrinsics": _jnp.asarray(stacks[0][4]),
+            }
+        return batch, images, (src, tgt, rot, trans)
 
     # Held-out evaluation pairs (fixed seed, disjoint from training stream).
     eval_rng = np.random.default_rng(12345)
     eval_pairs = [sample_batch(eval_rng) for _ in range(args.n_eval)]
 
-    model = KPFCNN(cfg)
-    batch0, _ = sample_batch(np.random.default_rng(0))
+    if args.images:
+        from pcrcg_tpu.models.pcrcg import PCRCG
+
+        model = PCRCG(cfg)
+    else:
+        model = KPFCNN(cfg)
+    batch0, images0, _ = sample_batch(np.random.default_rng(0))
     pyr0 = build_pyramid(
         batch0.points[0], batch0.masks[0], cfg.budgets, cfg.first_subsampling_dl,
         cfg.conv_radius,
     )
-    variables = jax.jit(model.init)(jax.random.key(cfg.seed), pyr0, batch0.features[0])
+    if args.images:
+        variables = jax.jit(model.init)(
+            jax.random.key(cfg.seed), pyr0, batch0.features[0], images0
+        )
+    else:
+        variables = jax.jit(model.init)(jax.random.key(cfg.seed), pyr0, batch0.features[0])
     # Spread the reference's 150 per-epoch decays over this run — the
     # default steps_per_epoch=1 would decay lr x0.95 EVERY STEP and freeze
     # training by step ~200.
@@ -147,11 +262,14 @@ def main():
     )
 
     @jax.jit
-    def register_pair(variables, points, masks, features, key):
+    def register_pair(variables, points, masks, features, key, images=None):
         pyr = build_pyramid(
             points, masks, cfg.budgets, cfg.first_subsampling_dl, cfg.conv_radius
         )
-        out = model.apply(variables, pyr, features)
+        if args.images:
+            out = model.apply(variables, pyr, features, images)
+        else:
+            out = model.apply(variables, pyr, features)
         k1, k2, k3 = jax.random.split(key, 3)
         scores = out["scores_overlap"] * out["scores_saliency"]
         src_idx, src_ok = weighted_sample_topk(k1, scores[0], masks[0], args.n_points)
@@ -168,10 +286,10 @@ def main():
 
     def evaluate(state, step):
         rmses, fits = [], []
-        for i, (batch, (src, tgt, rot, trans)) in enumerate(eval_pairs):
+        for i, (batch, images, (src, tgt, rot, trans)) in enumerate(eval_pairs):
             t_est, fit = register_pair(
                 state.variables(), batch.points[0], batch.masks[0],
-                batch.features[0], jax.random.key(1000 + i),
+                batch.features[0], jax.random.key(1000 + i), images,
             )
             t_est = np.asarray(t_est)
             rmses.append(protocol_rmse(t_est, rot, trans, src))
@@ -195,9 +313,12 @@ def main():
     key = jax.random.key(999)
     t0 = time.perf_counter()
     for step in range(1, args.steps + 1):
-        batch, _ = sample_batch(rng)
+        batch, images, _ = sample_batch(rng)
         step_cfg = cfg_sal if step >= args.saliency_after else cfg
-        state, stats = train_step(model, step_cfg, state, batch, jax.random.fold_in(key, step))
+        state, stats = train_step(
+            model, step_cfg, state, batch, jax.random.fold_in(key, step),
+            jax.tree_util.tree_map(lambda x: x[None], images) if images else None,
+        )
         if step % 50 == 0:
             emit(dict(
                 event="train", step=step,
