@@ -130,7 +130,12 @@ def render_views(points: np.ndarray, colors: np.ndarray, img_num: int, rng,
             order = np.argsort(-z[front][ok])  # nearest written last -> wins
             out[v[ok][order], u[ok][order]] = values[front][ok][order]
 
-        splat(intr_f, height, width, colors, imgs[i])
+        # Colors splat at HALF res (dense for scan-sized clouds) and
+        # upsample 2x — point splats at full res leave mostly-black images;
+        # the backbone halves the resolution again anyway.
+        img_h = np.zeros((h2, w2, 3), np.float32)
+        splat(intr_h, h2, w2, colors, img_h)
+        imgs[i] = np.repeat(np.repeat(img_h, 2, axis=0), 2, axis=1)
         splat(intr_h, h2, w2, z, deps[i])
     valid = (deps > 0).astype(np.float32)
     return imgs, deps, valid, w2c, np.asarray(intr_h, np.float32)
@@ -170,6 +175,11 @@ def main():
                          "through the ResNet50-UNet ahead of KPFCNN")
     ap.add_argument("--img-size", type=int, nargs=2, default=(240, 320),
                     metavar=("H", "W"))
+    ap.add_argument("--pair-pool", type=int, default=0,
+                    help="pre-generate this many training samples and cycle "
+                         "them (shuffled) instead of synthesizing per step — "
+                         "keeps the 1-CPU host's render cost off the step "
+                         "path in --images runs (0 = fresh sample per step)")
     args = ap.parse_args()
 
     from pcrcg_tpu.utils.jax_setup import enable_compilation_cache
@@ -310,10 +320,17 @@ def main():
     emit(dict(event="start", steps=args.steps, budget=args.budget, lr=args.lr))
     emit(dict(event="eval", **evaluate(state, 0)))
 
+    pool = None
+    if args.pair_pool:
+        pool = [sample_batch(rng) for _ in range(args.pair_pool)]
+
     key = jax.random.key(999)
     t0 = time.perf_counter()
     for step in range(1, args.steps + 1):
-        batch, images, _ = sample_batch(rng)
+        if pool is not None:
+            batch, images, _ = pool[int(rng.integers(0, len(pool)))]
+        else:
+            batch, images, _ = sample_batch(rng)
         step_cfg = cfg_sal if step >= args.saliency_after else cfg
         state, stats = train_step(
             model, step_cfg, state, batch, jax.random.fold_in(key, step),

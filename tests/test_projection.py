@@ -70,3 +70,47 @@ def test_adjust_intrinsic_reference_case():
     np.testing.assert_allclose(out[1, 2], 240 * 119 / 479)
     # identity when dims match
     np.testing.assert_allclose(adjust_intrinsic(intr, (640, 480), (640, 480)), intr)
+
+
+def test_synthetic_render_consistent_with_projection():
+    """The accuracy-harness renderer (scripts/train_synthetic_register.py)
+    must be geometrically consistent with ops.projection: points project to
+    valid pixels (depth test passes) and the gathered image colors equal
+    the points' own procedural colors — the property that makes the 2D
+    branch carry real signal in the --images evidence run."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import numpy as np
+    import jax.numpy as jnp
+    from train_synthetic_register import procedural_colors, render_views
+    from pcrcg_tpu.ops.projection import gather_pixel_features, project_points
+
+    rng = np.random.default_rng(4)
+    # A surface-ish cloud (sphere cap) so the z-buffer has coherent fronts.
+    v = rng.normal(size=(4000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pts = (v * (1.0 + 0.02 * rng.normal(size=(4000, 1)))).astype(np.float32)
+    cols = procedural_colors(pts)
+    imgs, deps, valid, w2c, intr = render_views(pts, cols, 2, rng, height=120, width=160)
+
+    total_valid = 0
+    for i in range(2):
+        pix, ok = project_points(
+            jnp.asarray(pts), jnp.asarray(deps[i]), jnp.asarray(w2c[i]),
+            jnp.asarray(np.asarray(intr, np.float32)),
+            jnp.ones(len(pts), bool), thresh=0.1,
+        )
+        ok = np.asarray(ok)
+        total_valid += ok.sum()
+        # pix live in the DEPTH (half) resolution — like the real lift,
+        # where the backbone's feature map comes out at half the color
+        # res.  Downsample the color render to that grid before gathering.
+        fmap = jnp.asarray(imgs[i][::2, ::2])  # [60,80,3]
+        got = np.asarray(gather_pixel_features(fmap, pix, jnp.asarray(ok)))
+        # Front-facing points should read back their own color (splat
+        # collisions and bilinear-free nearest reads allow some mismatch).
+        err = np.abs(got[ok] - cols[ok]).max(axis=1)
+        assert np.median(err) < 0.15, float(np.median(err))
+    # Each view faces the cap center from a random side: between the two
+    # views most points should be seen at least once.
+    assert total_valid > 0.5 * len(pts), total_valid
