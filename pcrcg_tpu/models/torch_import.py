@@ -257,6 +257,79 @@ def import_kpfcnn_state_dict(state_dict, variables, strict: bool = True):
     return out, report
 
 
+def export_kpfcnn_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`import_kpfcnn_state_dict`: our KPFCNN flax
+    ``variables`` ({'params', 'constants'}) -> a reference-format torch
+    state dict (numpy values), so TPU-trained weights run in the
+    reference's torch pipeline.  Round-trip tested."""
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(tree, path):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                walk(v, path + (k,))
+            else:
+                emit(path + (k,), np.asarray(v, np.float32))
+
+    def emit(path, value):
+        head = path[0]
+        if head.startswith(("encoder_", "decoder_")):
+            i = head.split("_")[1]
+            blk = ("encoder_blocks." if head[0] == "e" else "decoder_blocks.") + i
+            rest = path[1:]
+            if rest == ("KPConv", "weights") or rest == ("KPConv", "kernel_points"):
+                out[f"{blk}.KPConv.{rest[1]}"] = value
+            elif rest[-2:] == ("mlp", "kernel"):
+                mods = ".".join(rest[:-2] + ("mlp",))
+                out[f"{blk}.{mods}.weight"] = value.T
+            elif rest[-1] == "bias" and rest[-2] in ("norm", "norm_conv"):
+                ref_norm = {"norm": "batch_norm", "norm_conv": "batch_norm_conv"}[rest[-2]]
+                mods = ".".join(rest[:-2] + (ref_norm,))
+                out[f"{blk}.{mods}.bias"] = value
+            else:
+                raise KeyError("/".join(path))
+        elif head in ("bottle", "proj_gnn", "proj_score", "node_overlap_predict"):
+            if path[1] == "kernel":
+                out[f"{head}.weight"] = value.T[:, :, None]
+            else:
+                out[f"{head}.bias"] = value
+        elif head == "epsilon":
+            out["epsilon"] = value
+        elif head == "gnn":
+            i = path[1].split("_")[1]
+            if path[1].startswith("self_"):
+                out[f"gnn.layers.{i}.{path[2]}.weight"] = value.T[:, :, None, None]
+            elif path[2] == "attn":
+                ref_mod = {"proj_q": "proj.0", "proj_k": "proj.1",
+                           "proj_v": "proj.2", "merge": "merge"}[path[3]]
+                if path[4] == "kernel":
+                    out[f"gnn.layers.{i}.attn.{ref_mod}.weight"] = value.T[:, :, None]
+                else:
+                    out[f"gnn.layers.{i}.attn.{ref_mod}.bias"] = value
+            else:
+                ref_mod = {"mlp1": "mlp.0", "mlp2": "mlp.3"}[path[2]]
+                if path[3] == "kernel":
+                    out[f"gnn.layers.{i}.{ref_mod}.weight"] = value.T[:, :, None]
+                else:
+                    out[f"gnn.layers.{i}.{ref_mod}.bias"] = value
+        elif head.startswith("folding1_"):
+            k = int(head.split("_")[1]) * 2
+            leaf = "weight" if path[1] == "kernel" else "bias"
+            out[f"folding1.{k}.{leaf}"] = value.T if leaf == "weight" else value
+        elif head in ("linear1", "linear2"):
+            leaf = "weight" if path[1] == "kernel" else "bias"
+            out[f"{head}.{leaf}"] = value.T if leaf == "weight" else value
+        else:
+            raise KeyError("/".join(path))
+
+    walk(variables["params"], ())
+    for blk, sub in variables.get("constants", {}).items():
+        out[f"encoder_blocks.{blk.split('_')[1]}.KPConv.kernel_points"] = np.asarray(
+            sub["KPConv"]["kernel_points"], np.float32
+        )
+    return out
+
+
 def load_kpfcnn(path: str, variables, strict: bool = True):
     """Load a reference torch KPFCNN checkpoint file (the reference's
     ``_load_pretrain`` 'state_dict' layout, lib/trainer.py:163-184) into

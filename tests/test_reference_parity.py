@@ -517,3 +517,45 @@ def test_load_kpfcnn_from_torch_file(tmp_path, rng):
     np.testing.assert_array_equal(
         np.asarray(new_vars["params"]["encoder_0"]["KPConv"]["weights"]), marked
     )
+
+
+def test_kpfcnn_export_import_round_trip(rng):
+    """export_kpfcnn_state_dict (our -> reference torch format) must
+    round-trip exactly through import_kpfcnn_state_dict."""
+    import jax
+    from pcrcg_tpu.data.pair import make_pair_batch
+    from pcrcg_tpu.models.kpfcnn import KPFCNN
+    from pcrcg_tpu.models.torch_import import (
+        export_kpfcnn_state_dict,
+        import_kpfcnn_state_dict,
+    )
+    from pcrcg_tpu.ops.pyramid import build_pyramid
+
+    cfg = tiny_test_config(node_overlap=True, quaternion=True)
+    nprng = np.random.default_rng(9)
+    base = nprng.uniform(0, 0.5, size=(120, 3)).astype(np.float32)
+    batch = make_pair_batch(
+        [dict(src_pcd=base, tgt_pcd=base[10:110], rot=np.eye(3), trans=np.zeros(3))],
+        cfg.budgets.points[0],
+    )
+    pyr = build_pyramid(
+        batch.points[0], batch.masks[0], cfg.budgets,
+        cfg.first_subsampling_dl, cfg.conv_radius,
+    )
+    model = KPFCNN(cfg)
+    v1 = model.init(jax.random.key(1), pyr, batch.features[0])
+    v2 = model.init(jax.random.key(2), pyr, batch.features[0])
+
+    sd = export_kpfcnn_state_dict(v1)
+    merged, report = import_kpfcnn_state_dict(sd, v2)
+    assert not report["errors"], report["errors"]
+    flat1 = jax.tree_util.tree_flatten_with_path(
+        {"params": v1["params"], "constants": v1["constants"]}
+    )[0]
+    flatm = dict(jax.tree_util.tree_flatten_with_path(
+        {"params": merged["params"], "constants": merged["constants"]}
+    )[0])
+    assert len(flat1) == len(flatm)
+    for path, val in flat1:
+        np.testing.assert_array_equal(np.asarray(val), np.asarray(flatm[path]),
+                                      err_msg=str(path))
