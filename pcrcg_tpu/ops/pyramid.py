@@ -18,7 +18,7 @@ from flax.struct import dataclass as pytree
 
 from pcrcg_tpu.config import Budgets
 from pcrcg_tpu.ops.neighbors import radius_search
-from pcrcg_tpu.ops.subsample import grid_subsample, morton_sort
+from pcrcg_tpu.ops.subsample import grid_subsample
 from pcrcg_tpu.ops.tiled_search import radius_search_tiled
 
 
@@ -102,12 +102,13 @@ def build_pyramid(
     search = jax.vmap(search_one, in_axes=(0, 0, 0, None, None, None))
 
     def subsample_one(p, m, dl, n):
-        pooled, pooled_mask, count = grid_subsample(p, m, dl, n, return_count=True)
-        if budgets.search_impl == "tiled":
-            # Z-order the pooled level so tile pruning sees compact tiles
-            # (the subsample emits voxel-row order — long slabs).
-            pooled, pooled_mask, _ = morton_sort(pooled, pooled_mask)
-        return pooled, pooled_mask, count
+        # order='morton': the subsample's own sort key doubles as the
+        # Z-order the tile-pruned search wants — one argsort per level
+        # instead of two (TPU sorts are expensive).
+        return grid_subsample(
+            p, m, dl, n, return_count=True,
+            order="morton" if budgets.search_impl == "tiled" else "raster",
+        )
 
     subsample = jax.vmap(subsample_one, in_axes=(0, 0, None, None))
 

@@ -66,6 +66,7 @@ def grid_subsample(
     dl: float,
     n_out: int,
     return_count: bool = False,
+    order: str = "raster",
 ) -> tuple[jnp.ndarray, ...]:
     """points [N,3], mask [N] -> (pooled [n_out,3], pooled_mask [n_out]).
 
@@ -73,6 +74,13 @@ def grid_subsample(
     the number of distinct occupied voxels — ``count > n_out`` means voxels
     were silently dropped (budget overflow) and the level is corrupt; the
     pyramid's debug path and Trainer's occupancy report check it.
+
+    ``order``: the voxel linearization used as the sort key, which is also
+    the OUTPUT row order.  Any injective key gives identical barycenters;
+    'morton' emits the pooled level directly in Z-order (what the
+    tile-pruned search wants), saving the separate morton_sort argsort —
+    TPU sorts are expensive.  Falls back to raster keys when the voxel
+    grid exceeds 1024³ (Morton bits per axis).
     """
     big = jnp.float32(PAD_COORD)
     valid_pts = jnp.where(mask[:, None], points, big)
@@ -83,6 +91,16 @@ def grid_subsample(
     ijk = jnp.floor((points - origin) / dl).astype(jnp.int32)  # [N,3]
     dims = jnp.floor((pmax - origin) / dl).astype(jnp.int32) + 1  # [3]
     key = ijk[:, 0] + dims[0] * (ijk[:, 1] + dims[1] * ijk[:, 2])
+    if order == "morton":
+        ijk_c = jnp.clip(ijk, 0, 1023)
+        mkey = (
+            _spread_bits_10(ijk_c[:, 0])
+            | (_spread_bits_10(ijk_c[:, 1]) << 1)
+            | (_spread_bits_10(ijk_c[:, 2]) << 2)
+        )
+        key = jnp.where(jnp.all(dims <= 1024), mkey, key)
+    elif order != "raster":
+        raise ValueError(f"unknown order: {order}")
     key = jnp.where(mask, key, _INT_MAX)
 
     order = jnp.argsort(key)  # stable; invalid rows sort last

@@ -77,3 +77,38 @@ def test_overflow_count_reported(rng):
     )
     assert int(count) == int(np.asarray(pmask).sum())
     assert int(count) <= 128
+
+
+def test_grid_subsample_morton_order_same_voxels():
+    """order='morton' must produce the same voxel barycenters as the
+    raster order (as a set) with output rows Z-ordered (the tile-pruned
+    search's input contract) and valid rows front-packed."""
+    import jax.numpy as jnp
+    from pcrcg_tpu.ops.subsample import grid_subsample, morton_code
+
+    del morton_code  # Z-order is checked on the VOXEL grid below
+    from pcrcg_tpu.ops.subsample import _spread_bits_10
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0, 1.0, size=(500, 3)).astype(np.float32)
+    mask = np.ones(500, bool)
+    mask[450:] = False
+    # Budget must hold every occupied voxel: under overflow the DROP SET
+    # depends on the key order, so the two orders legitimately differ
+    # (overflow levels are flagged corrupt by the occupancy checks).
+    a, am = grid_subsample(jnp.asarray(pts), jnp.asarray(mask), 0.1, 512)
+    b, bm = grid_subsample(jnp.asarray(pts), jnp.asarray(mask), 0.1, 512, order="morton")
+    a, am, b, bm = map(np.asarray, (a, am, b, bm))
+    assert am.sum() == bm.sum() < 512
+    sa = sorted(map(tuple, a[am].round(5).tolist()))
+    sb = sorted(map(tuple, b[bm].round(5).tolist()))
+    assert sa == sb
+    # Front-packed valid rows.
+    assert bm[: bm.sum()].all() and not bm[bm.sum():].any()
+    # Z-ordered on the voxel grid the subsample used.
+    dl = 0.1
+    origin = np.floor(pts[mask].min(0) / dl) * dl
+    ijk = np.floor((b[bm] - origin) / dl).astype(np.int64)
+    sp = np.asarray(_spread_bits_10(jnp.asarray(ijk)))
+    codes = sp[:, 0] | (sp[:, 1] << 1) | (sp[:, 2] << 2)
+    assert (np.diff(codes) >= 0).all()
