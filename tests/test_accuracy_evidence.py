@@ -36,7 +36,7 @@ def test_synthetic_pair_gt_consistency():
     (noise=0); the protocol RMSE of the GT transform itself is 0."""
     rng = np.random.default_rng(3)
     cloud = rng.uniform(0, 2, size=(5000, 3)).astype(np.float32)
-    src, tgt, rot, trans = make_synthetic_pair(cloud, rng, noise=0.0, max_rot_deg=45)
+    src, tgt, rot, trans, _, _ = make_synthetic_pair(cloud, rng, noise=0.0, max_rot_deg=45)
     # The tgt crop is a moved subset of the cloud; verify a matching subset
     # maps exactly: every tgt point must equal rot @ c + trans for some
     # original cloud point c.
