@@ -143,9 +143,9 @@ def _kpfcnn_key_map(key: str):
 
     transform: None = copy, 't' = Linear [out,in] -> kernel [in,out],
     'conv1d' = Conv1d [out,in,1] -> [in,out], 'conv2d' = Conv2d
-    [out,in,1,1] -> [in,out].  Returns None for keys that carry no state
-    on the flax side (InstanceNorm has no params) and raises KeyError for
-    keys we cannot map."""
+    [out,in,1,1] -> [in,out].  Raises KeyError for keys we cannot map
+    (the caller pre-filters keys that carry no flax state, e.g.
+    InstanceNorm running stats)."""
     parts = key.split(".")
     if parts[0] in ("encoder_blocks", "decoder_blocks"):
         blk = ("encoder_" if parts[0][0] == "e" else "decoder_") + parts[1]
@@ -221,6 +221,7 @@ def import_kpfcnn_state_dict(state_dict, variables, strict: bool = True):
 
     out = {k: to_mutable(v) for k, v in dict(variables).items()}
     loaded, skipped, errors = [], [], []
+    touched = set()
     for key, tensor in state_dict.items():
         k = key[len("module."):] if key.startswith("module.") else key
         if k.endswith("num_batches_tracked") or ".running_" in k:
@@ -246,6 +247,25 @@ def import_kpfcnn_state_dict(state_dict, variables, strict: bool = True):
             errors.append(f"no match/shape for: {key} -> {coll}/{'/'.join(path)}")
             continue
         loaded.append(key)
+        touched.add((coll,) + path)
+    # Flax-side coverage: in strict mode every weight-bearing leaf of the
+    # model must have been written by the checkpoint — a truncated or
+    # different-architecture checkpoint otherwise leaves random-init
+    # weights in place silently.
+    untouched = []
+
+    def check(tree, path):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                check(v, path + (k,))
+            elif path + (k,) not in touched:
+                untouched.append("/".join(path + (k,)))
+
+    for coll in ("params", "constants"):
+        if coll in out:
+            check(out[coll], (coll,))
+    if untouched:
+        errors.extend(f"not in checkpoint: {p}" for p in untouched)
     if strict and errors:
         raise ValueError(
             "KPFCNN import failed:\n  " + "\n  ".join(errors[:20])

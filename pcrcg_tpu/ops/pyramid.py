@@ -105,10 +105,25 @@ def build_pyramid(
         # order='morton': the subsample's own sort key doubles as the
         # Z-order the tile-pruned search wants — one argsort per level
         # instead of two (TPU sorts are expensive).
-        return grid_subsample(
+        tiled = budgets.search_impl == "tiled"
+        pooled, pooled_mask, count = grid_subsample(
             p, m, dl, n, return_count=True,
-            order="morton" if budgets.search_impl == "tiled" else "raster",
+            order="morton" if tiled else "raster",
         )
+        if tiled:
+            # Morton keys need <=1024 voxels per axis; past that the
+            # subsample fell back to raster keys (long slabs), which
+            # starves the tile pruning — recover the old unconditional
+            # bbox Z-order in exactly that case.
+            from pcrcg_tpu.ops.subsample import grid_fits_morton, morton_sort
+
+            pooled, pooled_mask = jax.lax.cond(
+                grid_fits_morton(p, m, dl),
+                lambda pm: pm,
+                lambda pm: morton_sort(pm[0], pm[1])[:2],
+                (pooled, pooled_mask),
+            )
+        return pooled, pooled_mask, count
 
     subsample = jax.vmap(subsample_one, in_axes=(0, 0, None, None))
 

@@ -53,6 +53,19 @@ def morton_code(points: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask, code, _INT_MAX)
 
 
+def grid_fits_morton(points: jnp.ndarray, mask: jnp.ndarray, dl: float):
+    """Whether grid_subsample(order='morton') can Z-order this input —
+    i.e. the voxel grid fits 1024 cells per axis (same origin/dims
+    formulas as grid_subsample).  Lets callers lax.cond a bbox
+    morton_sort onto the raster fallback."""
+    big = jnp.float32(PAD_COORD)
+    pmin = jnp.min(jnp.where(mask[:, None], points, big), axis=0)
+    pmax = jnp.max(jnp.where(mask[:, None], points, -big), axis=0)
+    origin = jnp.floor(pmin / dl) * dl
+    dims = jnp.floor((pmax - origin) / dl).astype(jnp.int32) + 1
+    return jnp.all(dims <= 1024)
+
+
 def morton_sort(points: jnp.ndarray, mask: jnp.ndarray):
     """Sort points spatially (Z-order); pads stay at the tail.  Returns
     (points, mask, order) — order maps sorted rows back to input rows."""

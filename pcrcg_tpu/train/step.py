@@ -69,48 +69,41 @@ def pair_loss(
 
 
 def _stats_over_pairs(model, variables, cfg: Config, keys, batch: PairBatch,
-                      images=None):
-    """Mean loss stats over the batch via ``lax.map`` (NOT vmap): the body
-    compiles ONCE and runs per pair — no batching rules, so the Pallas
-    scalar-prefetch kernels (candidate-DMA KPConv) stay usable; per-pair
-    work is linear in pairs anyway (PERF.md: batch=4 was slower than 4x
-    batch=1)."""
+                      images=None, use_vmap: bool = False):
+    """Mean loss stats over the batch.
+
+    Default ``lax.map`` (NOT vmap): the body compiles ONCE and runs per
+    pair — no batching rules, so the Pallas scalar-prefetch kernels
+    (candidate-DMA KPConv) stay usable; per-pair work is linear in pairs
+    anyway (PERF.md: batch=4 was slower than 4x batch=1).  ``use_vmap``
+    keeps the program SPMD so GSPMD can partition pairs over the mesh
+    'data' axis (and the cloud axis over 'model') — those runs disable
+    the un-vmappable tiled kernels (Trainer does this only when the cloud
+    axis is active; pure data parallelism uses train_step_dp, which wraps
+    the lax.map body in shard_map and keeps the fast kernels)."""
     base = (keys, batch.points, batch.masks, batch.features, batch.rot, batch.trans)
     opt = {"images": images, "raw_points": batch.raw_points}
     present = [k for k, v in opt.items() if v is not None]
 
-    def fn(args):
-        k, p, m, f, r, t, *rest = args
+    def fn(k, p, m, f, r, t, *rest):
         kw = dict(zip(present, rest))
         return pair_loss(model, variables, cfg, k, p, m, f, r, t, **kw)
 
-    stats = jax.lax.map(fn, (*base, *(opt[k] for k in present)))
+    if use_vmap:
+        stats = jax.vmap(fn)(*base, *(opt[k] for k in present))
+    else:
+        stats = jax.lax.map(
+            lambda args: fn(*args), (*base, *(opt[k] for k in present))
+        )
     return jax.tree_util.tree_map(jnp.mean, stats)
 
 
 def batched_stats(model, variables, cfg: Config, key, batch: PairBatch, images=None,
                   sharded: bool = False):
     keys = jax.random.split(key, batch.batch_size)
-
-    if sharded:
-        # Mesh-sharded batch axis: vmap keeps the program SPMD so GSPMD can
-        # partition pairs over 'data' (and the cloud axis over 'model').
-        # The candidate-DMA Pallas kernel cannot be vmap-batched — mesh
-        # runs through THIS path set cfg.kpconv_tiled=False (Trainer does
-        # this only when the cloud axis is active; pure data parallelism
-        # uses train_step_dp below, which keeps the fast kernels).
-        base = (keys, batch.points, batch.masks, batch.features, batch.rot, batch.trans)
-        opt = {"images": images, "raw_points": batch.raw_points}
-        present = [k for k, v in opt.items() if v is not None]
-
-        def vfn(k, p, m, f, r, t, *rest):
-            kw = dict(zip(present, rest))
-            return pair_loss(model, variables, cfg, k, p, m, f, r, t, **kw)
-
-        stats = jax.vmap(vfn)(*base, *(opt[k] for k in present))
-        return jax.tree_util.tree_map(jnp.mean, stats)
-
-    return _stats_over_pairs(model, variables, cfg, keys, batch, images)
+    return _stats_over_pairs(
+        model, variables, cfg, keys, batch, images, use_vmap=sharded
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("model", "cfg", "sharded"))
@@ -129,18 +122,22 @@ def train_step(
 
 
 def _dp_in_specs(batch: PairBatch, images, batch_size: int):
-    """shard_map in_specs for (batch, keys, images): every PairBatch leaf
-    and per-pair image stack shards its leading pair axis on 'data';
-    batch-free image leaves (e.g. shared [4,4] intrinsics) replicate."""
+    """shard_map in_specs for (batch, keys, images): every leaf shards its
+    leading pair axis on 'data'.  Image dicts must carry the batch axis on
+    EVERY leaf (the loader stacks all image keys, intrinsics included) —
+    the per-pair lax.map body requires identical leading axes."""
     from jax.sharding import PartitionSpec as P
 
     batch_specs = jax.tree_util.tree_map(lambda _: P("data"), batch)
     img_specs = None
     if images is not None:
-        img_specs = {
-            k: P("data") if (v.ndim >= 1 and v.shape[0] == batch_size) else P()
-            for k, v in images.items()
-        }
+        for k, v in images.items():
+            if v.ndim < 1 or v.shape[0] != batch_size:
+                raise ValueError(
+                    f"images[{k!r}] must have the pair-batch leading axis "
+                    f"({batch_size}), got shape {v.shape}"
+                )
+        img_specs = {k: P("data") for k in images}
     return batch_specs, img_specs
 
 

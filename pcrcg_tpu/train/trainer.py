@@ -170,6 +170,13 @@ class Trainer:
                 {"params": self.state.params, "constants": self.state.constants},
                 strict=False,
             )
+            if self.mesh is not None:
+                # The import splices host numpy arrays into a replicated
+                # state — re-replicate so every leaf is a mesh-sharded
+                # global array again (multihost jit rejects host-local).
+                from pcrcg_tpu.parallel.mesh import replicate
+
+                new_vars = replicate(new_vars, self.mesh)
             self.state = self.state.replace(
                 params=new_vars["params"], constants=new_vars["constants"]
             )

@@ -106,7 +106,8 @@ def render_views(points: np.ndarray, colors: np.ndarray, img_num: int, rng,
     from pcrcg_tpu.ops.projection import adjust_intrinsic
 
     h2, w2 = height // 2, width // 2
-    intr_f = adjust_intrinsic(_BASE_INTR, (640, 480), (width, height))
+    # Everything renders on the half-res grid (the lift's projection
+    # resolution); colors upsample 2x to the backbone's input size.
     intr_h = adjust_intrinsic(_BASE_INTR, (640, 480), (w2, h2))
     center = points.mean(0)
     radius = float(np.linalg.norm(points - center, axis=1).max())

@@ -98,7 +98,9 @@ def test_shard_map_train_step_matches_single_device():
         jax.tree_util.tree_leaves(new_state.params),
         jax.tree_util.tree_leaves(new_state_1.params),
     ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+        # Same reduction-order allowance as test_data_parallel_train_step:
+        # pmean-of-local-means vs one global mean.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
 
     ev = eval_step_dp(model, cfg, state_r, sharded, jax.random.key(2), mesh)
     ev_1 = eval_step(model, cfg, state, batch, jax.random.key(2))
