@@ -70,3 +70,26 @@ def test_indoor_tester_end_to_end(tmp_path, rng):
     assert est_log.exists()
     first = open(est_log).readline().split()
     assert first[:2] == ["0", "2"]
+
+
+@pytest.mark.slow
+def test_kitti_tester_end_to_end(rng):
+    """KITTITester plumbing on synthetic pairs (untrained model — the
+    check is the pipelined loop + RRE/RTE bookkeeping, not recall)."""
+    from pcrcg_tpu.data.pair import make_pair_batch
+    from pcrcg_tpu.eval.tester import KITTITester
+
+    cfg = tiny_test_config()
+    samples = []
+    for k in range(3):
+        base = rng.uniform(0, 0.5, size=(150, 3)).astype(np.float32)
+        samples.append(
+            dict(src_pcd=base, tgt_pcd=base[10:140] + 0.01,
+                 rot=np.eye(3), trans=np.full(3, 0.01, np.float32))
+        )
+    batch = make_pair_batch(samples, cfg.budgets.points[0])
+    model, variables = init_model(cfg)
+    tester = KITTITester(cfg, model, variables)
+    out = tester.run([(batch, None)], n_points=64)
+    assert set(out) == {"registration_recall", "rre_median", "rte_median"}
+    assert 0.0 <= out["registration_recall"] <= 1.0
