@@ -35,7 +35,15 @@ def main(argv=None):
     from pcrcg_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
+    import os
+
     import jax
+
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+    # explicitly so `JAX_PLATFORMS=cpu python -m pcrcg_tpu.demo --scale .1`
+    # really runs on CPU (and doesn't hang when the TPU tunnel is down).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from pcrcg_tpu.config import Config, load_config
     from pcrcg_tpu.data.indoor import load_fragment
@@ -64,7 +72,13 @@ def main(argv=None):
     print(f"src {src.shape} tgt {tgt.shape}", flush=True)
 
     model, variables = init_model(cfg)
-    if args.checkpoint:
+    if args.checkpoint and args.checkpoint.endswith((".pth", ".pt", ".tar")):
+        # Reference-format torch checkpoint (models/torch_import.py).
+        from pcrcg_tpu.models.torch_import import load_kpfcnn
+
+        variables, report = load_kpfcnn(args.checkpoint, variables, strict=False)
+        print(f"torch checkpoint: {report['loaded']} tensors imported", flush=True)
+    elif args.checkpoint:
         from pcrcg_tpu.train.checkpoints import CheckpointManager
         from pcrcg_tpu.train.state import create_train_state
 
