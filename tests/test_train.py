@@ -100,3 +100,48 @@ def test_aux_heads_train_step(setup):
         ),
         rel=1e-5,
     )
+
+
+@pytest.mark.slow
+def test_train_step_with_images():
+    """The FLAGSHIP color+geometry model (PCRCG: ResNet50-UNet lift ahead
+    of KPFCNN) must run a full train step — forward through the 2D
+    backbone + lift, loss, backward (backbone detached), update — with
+    finite loss and params."""
+    from bench import synthetic_images
+    from pcrcg_tpu.models.pcrcg import PCRCG
+
+    cfg = tiny_test_config(image_feature=True, in_feats_dim=129, lr=0.01)
+    rng = np.random.default_rng(11)
+    base = rng.uniform(0, 0.5, size=(160, 3)).astype(np.float32)
+    sample = {
+        "src_pcd": base,
+        "tgt_pcd": base[20:150] + rng.normal(scale=0.002, size=(130, 3)).astype(np.float32),
+        "rot": np.eye(3),
+        "trans": np.zeros(3),
+    }
+    batch = make_pair_batch([sample], cfg.budgets.points[0])
+    images = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_images(cfg.img_num, height=32, width=40).items()
+    }
+
+    model = PCRCG(cfg)
+    pyr = build_pyramid(
+        batch.points[0], batch.masks[0], cfg.budgets, cfg.first_subsampling_dl, cfg.conv_radius
+    )
+    variables = model.init(jax.random.key(0), pyr, batch.features[0], images)
+    state = create_train_state(cfg, variables, steps_per_epoch=10)
+
+    batched_images = jax.tree_util.tree_map(lambda x: x[None], images)
+    new_state, stats = train_step(
+        model, cfg, state, batch, jax.random.key(1), batched_images
+    )
+    assert np.isfinite(float(stats["total"]))
+    for leaf in jax.tree_util.tree_leaves(new_state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # The detached 2D backbone must be untouched by the update.
+    b0 = state.params["lift"]["backbone2d"]
+    b1 = new_state.params["lift"]["backbone2d"]
+    for a, b in zip(jax.tree_util.tree_leaves(b0), jax.tree_util.tree_leaves(b1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
