@@ -1,7 +1,7 @@
 """Op-level trace of one stage on the real chip: run under
 jax.profiler.trace, parse the xplane protobuf, print top ops by self time.
 
-Usage: python scripts/trace_top_ops.py [forward|pyramid|train] [kpconv_impl]
+Usage: python scripts/trace_top_ops.py [forward|pyramid|grad|train|images] [kpconv_impl]
 """
 import glob
 import os
@@ -93,6 +93,18 @@ if __name__ == "__main__":
         state = create_train_state(cfg, variables)
         step = jax.jit(lambda s, b, k: train_step(model, cfg, s, b, k))
         fn = lambda i: step(state, batch, jax.random.fold_in(jax.random.key(0), i))
+    elif stage == "images":
+        # Full color+geometry forward (PCRCG = ResNet50-UNet ×2·img_num +
+        # 2D→3D lift + KPFCNN) to break down the 2D branch's budget.
+        from bench import synthetic_images
+        from pcrcg_tpu.models.pcrcg import PCRCG
+
+        cfg = cfg.replace(image_feature=True, in_feats_dim=129)
+        model = PCRCG(cfg)
+        images = {k: jnp.asarray(v) for k, v in synthetic_images(cfg.img_num).items()}
+        variables = jax.jit(model.init)(jax.random.key(0), pyr, feats, images)
+        fwd = jax.jit(lambda v, im, f: model.apply(v, pyr, f, im))
+        fn = lambda i: fwd(variables, images, feats * (1.0 + 1e-6 * i))
     else:
         raise SystemExit(f"unknown stage {stage}")
 
