@@ -84,7 +84,12 @@ class IndoorDataset:
         return len(self.infos["rot"])
 
     def __getitem__(self, item: int) -> Dict[str, np.ndarray]:
-        rng = self.rng
+        return self.get(item, self.rng)
+
+    def get(self, item: int, rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
+        """__getitem__ with an explicit generator — the PairLoader worker
+        threads each pass their own so augmentation draws never race."""
+        rng = rng if rng is not None else self.rng
         rot = np.asarray(self.infos["rot"][item], np.float64)
         trans = np.asarray(self.infos["trans"][item], np.float64).reshape(3, 1)
 

@@ -195,6 +195,12 @@ class KITTIDataset:
         return count
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        return self.get(idx, self.rng)
+
+    def get(self, idx: int, rng=None) -> Dict[str, np.ndarray]:
+        """__getitem__ with an explicit generator (PairLoader worker threads
+        each pass their own; augmentation draws never race)."""
+        rng = rng if rng is not None else self.rng
         drive, t0, t1 = self.files[idx]
         xyz0 = self._velodyne(drive, t0)
         xyz1 = self._velodyne(drive, t1)
@@ -208,11 +214,10 @@ class KITTIDataset:
         if self.split == "train" and self._count_correspondences(
             idx, src_raw, tgt_raw, tsfm
         ) < self.config.max_points:
-            return self[int(self.rng.integers(len(self)))]
+            return self.get(int(rng.integers(len(self))), rng)
 
         src_in, tgt_in = src_raw.copy(), tgt_raw.copy()
         if self.augment:
-            rng = self.rng
             src_in += (rng.random(src_in.shape) - 0.5) * self.config.augment_noise
             tgt_in += (rng.random(tgt_in.shape) - 0.5) * self.config.augment_noise
             rot_ab = euler_zyx_matrix(rng.random(3) * 2 * np.pi)

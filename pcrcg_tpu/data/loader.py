@@ -3,14 +3,17 @@ compute.
 
 Replaces the reference's multi-worker torch DataLoader + CPU C++ collation
 (datasets/dataloader.py:459-472, num_workers=10).  Because the pyramid now
-builds ON DEVICE, host work is only file IO + augmentation + padding, so a
-small thread pool keeps the TPU fed; batches are assembled into PairBatch
-pytrees and handed to jit.
+builds ON DEVICE, host work is file IO + augmentation + padding — plus PNG
+decodes and SuperGlue npz parsing on the image path, which is why
+``num_threads`` workers build batches CONCURRENTLY (ordered output, bounded
+prefetch).  Randomness is drawn from per-batch spawned generators, so the
+epoch's data is deterministic for a given seed regardless of num_threads.
 """
 from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
@@ -41,15 +44,26 @@ class PairLoader:
         self.shuffle = shuffle
         self.num_threads = num_threads
         self.prefetch = prefetch
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.rng = np.random.default_rng(seed)  # epoch shuffles only (main thread)
         self.image_keys = image_keys
+        self._epoch = 0
 
     def __len__(self) -> int:
         return len(self.dataset) // self.batch_size
 
-    def _make_batch(self, indices) -> tuple[PairBatch, Optional[dict]]:
-        samples = [self.dataset[int(i)] for i in indices]
-        batch = make_pair_batch(samples, self.budget, rng=self.rng)
+    def _get_sample(self, index: int, rng: np.random.Generator):
+        # Datasets whose __getitem__ draws randomness (augmentation, point
+        # caps) expose ``get(item, rng)`` so concurrent workers never share a
+        # generator; plain map-style datasets fall back to __getitem__.
+        get = getattr(self.dataset, "get", None)
+        if get is not None:
+            return get(index, rng)
+        return self.dataset[index]
+
+    def _make_batch(self, indices, rng: np.random.Generator) -> tuple[PairBatch, Optional[dict]]:
+        samples = [self._get_sample(int(i), rng) for i in indices]
+        batch = make_pair_batch(samples, self.budget, rng=rng)
         images = None
         if all(k in samples[0] for k in self.image_keys):
             images = {
@@ -65,34 +79,41 @@ class PairLoader:
         batches = [
             order[i * self.batch_size : (i + 1) * self.batch_size] for i in range(n_batches)
         ]
-        if self.num_threads <= 1:
-            for b in batches:
-                yield self._make_batch(b)
+        # One independent generator per batch: deterministic in (seed, epoch,
+        # batch index) and safe to use from any worker thread.
+        ss = np.random.SeedSequence(entropy=(self.seed, self._epoch))
+        rngs = [np.random.default_rng(child) for child in ss.spawn(n_batches)]
+        self._epoch += 1
+        if self.num_threads <= 1 or n_batches <= 1:
+            for b, r in zip(batches, rngs):
+                yield self._make_batch(b, r)
             return
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-
-        def worker():
-            try:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    out_q.put(self._make_batch(b))
-            except Exception as e:  # surface loader errors to the consumer
-                out_q.put(e)
-            finally:
-                out_q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        # Ordered concurrent prefetch: up to num_threads batches build in
+        # parallel, at most num_threads+prefetch results/futures outstanding.
+        executor = ThreadPoolExecutor(
+            max_workers=self.num_threads, thread_name_prefix="pairloader"
+        )
         try:
-            while True:
-                item = out_q.get()
-                if item is None:
-                    return
-                if isinstance(item, Exception):
-                    raise item
+            from collections import deque
+
+            window = self.num_threads + self.prefetch
+            futures: deque = deque()
+            next_submit = 0
+            while next_submit < n_batches and len(futures) < window:
+                futures.append(
+                    executor.submit(self._make_batch, batches[next_submit], rngs[next_submit])
+                )
+                next_submit += 1
+            while futures:
+                item = futures.popleft().result()  # re-raises worker errors
+                if next_submit < n_batches:
+                    futures.append(
+                        executor.submit(
+                            self._make_batch, batches[next_submit], rngs[next_submit]
+                        )
+                    )
+                    next_submit += 1
                 yield item
         finally:
-            stop.set()
+            executor.shutdown(wait=False, cancel_futures=True)
