@@ -178,6 +178,17 @@ class Config:
     augment_scale_min: float = 0.8
     augment_scale_max: float = 1.2
     root: str = ""
+    # ModelNet protocol (reference configs/test/modelnet.yaml:61-75 +
+    # datasets/modelnet.py:15-57): RPMNet transform-chain parameters and the
+    # half1/half2 category-split files (shipped in configs/modelnet/).
+    train_categoryfile: str = ""
+    val_categoryfile: str = ""
+    test_categoryfile: str = ""
+    noise_type: str = "crop"
+    rot_mag: float = 45.0
+    trans_mag: float = 0.5
+    num_points: int = 1024
+    partial: Optional[Tuple[float, float]] = None
     img_path: str = ""
     superglue_matches_path: str = ""
     train_info: str = ""
@@ -291,6 +302,9 @@ _IGNORED_KEYS = {
     "num_gpus",
     "dir",
     "debug",
+    # 'modelnet_hdf' is the only dataset_type the reference implements
+    # (datasets/modelnet.py:29-35) — accepted, dispatch is by 'dataset'.
+    "dataset_type",
 }
 
 
@@ -315,6 +329,8 @@ def config_from_dict(flat: Dict[str, Any]) -> Config:
         if key in _IGNORED_KEYS:
             continue
         if key == "nets":
+            value = tuple(value)
+        elif key == "partial" and value is not None:
             value = tuple(value)
         elif key == "architecture":
             key, value = "architecture_list", tuple(value)

@@ -89,24 +89,43 @@ def read_categories(path: str) -> List[str]:
 
 def get_modelnet_datasets(
     cfg: Config,
-    noise_type: str = "crop",
-    rot_mag: float = 45.0,
-    trans_mag: float = 0.5,
-    num_points: int = 1024,
+    noise_type: Optional[str] = None,
+    rot_mag: Optional[float] = None,
+    trans_mag: Optional[float] = None,
+    num_points: Optional[int] = None,
     partial: Optional[List[float]] = None,
-    train_categoryfile: str = "",
-    test_categoryfile: str = "",
+    train_categoryfile: Optional[str] = None,
+    val_categoryfile: Optional[str] = None,
+    test_categoryfile: Optional[str] = None,
 ):
     """Reference datasets/modelnet.py get_train_datasets/get_test_datasets:
-    half1 categories for train/val, half2 for test (configs/test/
-    modelnet.yaml:67-69 convention)."""
+    half1 categories for train/val, half2 for test, partial [0.7,0.7] crops
+    (configs/test/modelnet.yaml:61-75).  Every protocol knob defaults to the
+    Config's dataset-section fields; keyword arguments override (tests)."""
+    noise_type = noise_type if noise_type is not None else cfg.noise_type
+    rot_mag = rot_mag if rot_mag is not None else cfg.rot_mag
+    trans_mag = trans_mag if trans_mag is not None else cfg.trans_mag
+    num_points = num_points if num_points is not None else cfg.num_points
+    partial = partial if partial is not None else (
+        list(cfg.partial) if cfg.partial is not None else None
+    )
+    train_categoryfile = (
+        train_categoryfile if train_categoryfile is not None else cfg.train_categoryfile
+    )
+    val_categoryfile = (
+        val_categoryfile if val_categoryfile is not None else cfg.val_categoryfile
+    )
+    test_categoryfile = (
+        test_categoryfile if test_categoryfile is not None else cfg.test_categoryfile
+    )
     train_t, test_t = get_transforms(noise_type, rot_mag, trans_mag, num_points, partial)
     train_cats = read_categories(train_categoryfile) if train_categoryfile else None
+    val_cats = read_categories(val_categoryfile) if val_categoryfile else train_cats
     test_cats = read_categories(test_categoryfile) if test_categoryfile else None
     out = {}
     if cfg.mode == "train":
         out["train"] = ModelNetHdf(cfg, cfg.root, "train", train_cats, train_t)
-        out["val"] = ModelNetHdf(cfg, cfg.root, "test", train_cats, test_t)
+        out["val"] = ModelNetHdf(cfg, cfg.root, "test", val_cats, test_t)
     else:
         out["test"] = ModelNetHdf(cfg, cfg.root, "test", test_cats, test_t)
     return out

@@ -58,6 +58,67 @@ def test_modelnet_tester_end_to_end(tmp_path, rng):
         assert key in summary and np.isfinite(summary[key])
 
 
+def test_modelnet_protocol_config(tmp_path, rng):
+    """RPMNet half1/half2 partial-crop protocol, config-driven end to end
+    (reference configs/test/modelnet.yaml:61-75 + datasets/modelnet.py:59-130):
+    the shipped category-split files route through Config → get_modelnet_datasets
+    with NO keyword overrides, the test split filters to half2 categories only,
+    and the crop chain resamples the source to ceil(0.7·num_points)."""
+    import math
+
+    root = tmp_path / "mn"
+    root.mkdir(parents=True)
+    all_cats = [l.strip() for l in open("configs/modelnet/modelnet40_all.txt")]
+    half2 = set(l.strip() for l in open("configs/modelnet/modelnet40_half2.txt"))
+    (root / "shape_names.txt").write_text("\n".join(all_cats) + "\n")
+    # Two models per split half: airplane/bed ∈ half1, laptop/monitor ∈ half2.
+    names = ["airplane", "bed", "laptop", "monitor"]
+    labels = np.array([[all_cats.index(n)] for n in names], np.int64)
+    v = rng.normal(size=(4, 512, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    with h5py.File(root / "ply_data_test0.h5", "w") as f:
+        f.create_dataset("data", data=v)
+        f.create_dataset("label", data=labels)
+    (root / "test_files.txt").write_text("ply_data_test0.h5\n")
+
+    from pcrcg_tpu.config import Budgets
+
+    cfg = tiny_test_config(
+        dataset="modelnet", mode="test", root=str(root),
+        budgets=Budgets(points=(256, 192, 96), neighbors=(16, 16, 16), corr_k=8, query_chunk=64),
+        train_categoryfile="configs/modelnet/modelnet40_half1.txt",
+        val_categoryfile="configs/modelnet/modelnet40_half1.txt",
+        test_categoryfile="configs/modelnet/modelnet40_half2.txt",
+        noise_type="crop", partial=(0.7, 0.7), num_points=256,
+        rot_mag=45.0, trans_mag=0.5,
+    )
+    ds = get_modelnet_datasets(cfg)["test"]  # all knobs come from cfg
+    assert len(ds) == 2  # half2 categories only (laptop, monitor)
+    for i in range(len(ds)):
+        s = ds[i]
+        assert all_cats[int(s["label"])] in half2
+        # crop [0.7, 0.7]: BOTH clouds resampled to ceil(0.7 * num_points)
+        # (RPMNet Resampler with a 2-entry crop_proportion)
+        assert s["src_pcd"].shape[0] == math.ceil(0.7 * 256)
+        assert s["tgt_pcd"].shape[0] == math.ceil(0.7 * 256)
+        # 45° / 0.5 m perturbation bounds (euler-angle chain)
+        angle = np.degrees(np.arccos(np.clip((np.trace(s["rot"]) - 1) / 2, -1, 1)))
+        assert angle <= 3 * 45.0 + 1e-3  # three stacked 45°-max euler axes
+        assert np.all(np.abs(s["trans"]) <= 0.5 + 1e-6)
+
+
+def test_yaml_protocol_keys_parse(tmp_path):
+    """The dataset-section protocol keys in configs/{train,test}/modelnet.yaml
+    parse into Config fields (strict unknown-key rejection would throw)."""
+    from pcrcg_tpu.config import load_config
+
+    for path in ("configs/train/modelnet.yaml", "configs/test/modelnet.yaml"):
+        cfg = load_config(path)
+        assert cfg.test_categoryfile.endswith("modelnet40_half2.txt")
+        assert cfg.partial == (0.7, 0.7)
+        assert cfg.num_points == 1024 and cfg.noise_type == "crop"
+
+
 def test_chamfer_uses_clean_cloud():
     """The modified chamfer must use the clean raw cloud: with a cropped ref
     and identity transforms, chamfer against the full cloud differs from
