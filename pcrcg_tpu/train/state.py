@@ -44,6 +44,23 @@ class TrainState:
         return dataclasses.replace(self, **kw)
 
 
+def trainable_labels(params):
+    """Pytree of {'train','frozen'} labels: 'frozen' under ``backbone2d``.
+    The reference builds the frozen 2D backbone OUTSIDE the optimizer
+    (main.py:59 optimizes only the KPFCNN; lib/trainer.py:49-70), so weight
+    decay / momentum must never see it.  Its lifted features are detached, so
+    its grads are identically zero — but ``optax.add_decayed_weights`` is
+    gradient-independent and would still decay it every step without this."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(params)
+    labels = {
+        k: "frozen" if any("backbone2d" in str(part) for part in k) else "train"
+        for k in flat
+    }
+    return unflatten_dict(labels)
+
+
 def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransformation:
     schedule = optax.exponential_decay(
         init_value=cfg.lr,
@@ -63,6 +80,9 @@ def make_optimizer(cfg: Config, steps_per_epoch: int) -> optax.GradientTransform
         )
     else:
         raise ValueError(f"Unknown optimizer: {cfg.optimizer}")
+    # Frozen-2D-backbone exclusion (reference main.py:59): frozen leaves get
+    # hard-zero updates — no decay, no momentum state.
+    tx = optax.multi_transform({"train": tx, "frozen": optax.set_to_zero()}, trainable_labels)
     if cfg.iter_size > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.iter_size).gradient_transformation()
     # Skip (don't crash on) non-finite grads, like validate_gradient.

@@ -111,7 +111,12 @@ def test_train_step_with_images():
     from bench import synthetic_images
     from pcrcg_tpu.models.pcrcg import PCRCG
 
-    cfg = tiny_test_config(image_feature=True, in_feats_dim=129, lr=0.01)
+    # weight_decay deliberately HUGE: if the optimizer saw the frozen
+    # backbone, add_decayed_weights would shift every param by lr·wd·p =
+    # 1e-3·p per step — far above f32 ulp, so the bit-identity assertion
+    # below actually proves the optax.multi_transform freeze (the reference
+    # never optimizes backbone2d, main.py:59 + lib/trainer.py:49-70).
+    cfg = tiny_test_config(image_feature=True, in_feats_dim=129, lr=0.01, weight_decay=0.1)
     rng = np.random.default_rng(11)
     base = rng.uniform(0, 0.5, size=(160, 3)).astype(np.float32)
     sample = {
