@@ -60,9 +60,15 @@ def register_pair_jit(
     mutual: bool = False,
     num_iterations: int = 50000,
     hypothesis_chunk: int = 1024,
+    rot=None,
+    trans=None,
 ):
     """Full on-device pair → SE(3): forward, interest-point sampling by
-    overlap×saliency (tester.py:146-164), feature matching, RANSAC."""
+    overlap×saliency (tester.py:146-164), feature matching, RANSAC.  When the
+    GT (rot, trans) is passed, also reports the descriptor-quality metrics of
+    reference lib/benchmark_utils.py:226-311 over the sampled interest
+    points: inlier ratio with/without mutual check at 0.1 m and the pair's
+    FMR contribution (inlier ratio > 0.05)."""
     out, _ = forward_pair(model, variables, cfg, points, masks, features, images)
     k1, k2, k3 = jax.random.split(key, 3)
     scores = out["scores_overlap"] * out["scores_saliency"]
@@ -76,12 +82,28 @@ def register_pair_jit(
         distance_threshold=distance_threshold, ransac_n=ransac_n,
         num_iterations=num_iterations, hypothesis_chunk=hypothesis_chunk,
     )
-    return {
+    result = {
         "transform": res.transform,
         "fitness": res.fitness,
         "inlier_rmse": res.inlier_rmse,
         "outputs": out,
     }
+    if rot is not None and trans is not None:
+        from pcrcg_tpu.eval.metrics import feature_match_recall_sweep, inlier_ratio
+
+        ir = inlier_ratio(
+            s_pts, t_pts, s_feats, t_feats, rot, trans, src_ok, tgt_ok,
+            inlier_distance_threshold=0.1,
+        )
+        result["inlier_ratio_wo_mutual"] = ir["inlier_ratio_wo_mutual"]
+        result["inlier_ratio_w_mutual"] = ir["inlier_ratio_w_mutual"]
+        # FMR protocol flag at the standard 0.1 m distance threshold
+        # (reference benchmark_utils.py:226-265: a pair "recalls" when its
+        # inlier ratio clears 0.05).
+        result["fmr_flags"] = feature_match_recall_sweep(
+            ir["distance_wo_mutual"], src_ok, thresholds=(0.05, 0.1, 0.2)
+        )
+    return result
 
 
 def fragment_id(path: str) -> int:
@@ -121,11 +143,15 @@ class IndoorTester:
         from collections import deque
 
         inflight: deque = deque()
+        ir_wo, ir_w, fmr_flags = [], [], []
 
         def realize(item):
-            scene, ij, T = item
+            scene, ij, T, res = item
             per_scene_pairs[scene].append(ij)
             per_scene_tsfm[scene].append(np.asarray(T))
+            ir_wo.append(float(res["inlier_ratio_wo_mutual"]))
+            ir_w.append(float(res["inlier_ratio_w_mutual"]))
+            fmr_flags.append(np.asarray(res["fmr_flags"]))
 
         for batch, images in loader:
             for b in range(batch.batch_size):
@@ -138,12 +164,13 @@ class IndoorTester:
                     batch.points[b], batch.masks[b], batch.features[b], sub, im,
                     n_points=n_points, mutual=mutual,
                     num_iterations=num_iterations, hypothesis_chunk=hypothesis_chunk,
+                    rot=batch.rot[b], trans=batch.trans[b],
                 )
                 T = to_homogeneous(res["transform"])
                 scene = scene_of(infos["src"][idx])
                 i = fragment_id(infos["tgt"][idx])
                 j = fragment_id(infos["src"][idx])
-                inflight.append((scene, (i, j), T))
+                inflight.append((scene, (i, j), T, res))
                 if len(inflight) > depth:
                     realize(inflight.popleft())
                 idx += 1
@@ -158,8 +185,26 @@ class IndoorTester:
                 n_frag,
             )
         result = benchmark(est_folder, self.gt_folder)
+        # Descriptor-quality headline numbers (reference lib/benchmark_utils
+        # get_inlier_ratio + the FMR protocol): mean inlier ratios and the
+        # feature-match recall at distance thresholds 0.05/0.1/0.2 m.
+        fmr = np.mean(np.stack(fmr_flags), axis=0) if fmr_flags else np.zeros(3)
+        desc = {
+            "inlier_ratio_wo_mutual": float(np.mean(ir_wo)) if ir_wo else 0.0,
+            "inlier_ratio_w_mutual": float(np.mean(ir_w)) if ir_w else 0.0,
+            "fmr_005": float(fmr[0]),
+            "fmr_01": float(fmr[1]),
+            "fmr_02": float(fmr[2]),
+        }
         print(result.summary(), flush=True)
-        return {"benchmark": result, "est_folder": est_folder}
+        print(
+            "Inlier ratio (wo/w mutual): "
+            f"{desc['inlier_ratio_wo_mutual']:.4f} / {desc['inlier_ratio_w_mutual']:.4f}  "
+            f"FMR@(0.05/0.1/0.2 m): {desc['fmr_005']:.4f} / {desc['fmr_01']:.4f} / "
+            f"{desc['fmr_02']:.4f}",
+            flush=True,
+        )
+        return {"benchmark": result, "est_folder": est_folder, **desc}
 
 
 class KITTITester:

@@ -58,7 +58,9 @@ def main():
         )
         res = out["benchmark"]
         print(f"n_points={n}: weighted RR {res.weighted_recall:.4f} "
-              f"mean RR {res.mean_recall:.4f}", flush=True)
+              f"mean RR {res.mean_recall:.4f} "
+              f"IR {out['inlier_ratio_wo_mutual']:.4f}/{out['inlier_ratio_w_mutual']:.4f} "
+              f"FMR@0.1 {out['fmr_01']:.4f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -70,6 +70,83 @@ def test_indoor_tester_end_to_end(tmp_path, rng):
     assert est_log.exists()
     first = open(est_log).readline().split()
     assert first[:2] == ["0", "2"]
+    # Descriptor-quality metrics are surfaced (reference benchmark_utils
+    # get_inlier_ratio + FMR protocol).
+    for k in ("inlier_ratio_wo_mutual", "inlier_ratio_w_mutual",
+              "fmr_005", "fmr_01", "fmr_02"):
+        assert k in out and 0.0 <= out[k] <= 1.0, k
+
+
+@pytest.mark.slow
+def test_indoor_tester_multi_scene_dress_rehearsal(tmp_path, rng):
+    """Protocol dress rehearsal at realistic scale: 3 scenes × 10 fragments,
+    108 non-consecutive pairs, generated gt.log/gt.info — exercises scene
+    grouping, n_frag bookkeeping, the pipelined readback loop and the full
+    benchmark() aggregation (the real 3DMatch set is 8 scenes / 1623 pairs,
+    reference configs/benchmarks).  Untrained model: the check is plumbing
+    and throughput, not recall."""
+    import time
+
+    scenes = [f"7-scenes-fake-{c}" for c in "abc"]
+    n_frag = 10
+    root = tmp_path / "data"
+    infos = {"rot": [], "trans": [], "src": [], "tgt": [], "overlap": []}
+    for s_idx, scene in enumerate(scenes):
+        (root / "test" / scene).mkdir(parents=True)
+        base = rng.uniform(0, 0.5, size=(200, 3)).astype(np.float32) + 2.0 * s_idx
+        for i in range(n_frag):
+            torch.save(
+                torch.from_numpy(base + 0.01 * i),
+                root / "test" / scene / f"cloud_bin_{i}.pth",
+            )
+        pairs = [(i, j) for i in range(n_frag) for j in range(i + 2, n_frag)]
+        gt_dir = tmp_path / "gt" / scene
+        gt_dir.mkdir(parents=True)
+        gt_T = []
+        for i, j in pairs:
+            T = np.eye(4)
+            T[:3, 3] = 0.01 * (i - j)  # cloud_i = cloud_j + 0.01*(i-j)
+            gt_T.append(T)
+            infos["rot"].append(np.eye(3))
+            infos["trans"].append(np.full((3, 1), 0.01 * (i - j), np.float32))
+            infos["src"].append(f"test/{scene}/cloud_bin_{j}.pth")
+            infos["tgt"].append(f"test/{scene}/cloud_bin_{i}.pth")
+            infos["overlap"].append(0.9)
+        write_trajectory(
+            str(gt_dir / "gt.log"), np.asarray(pairs), np.stack(gt_T), n_frag
+        )
+        with open(gt_dir / "gt.info", "w") as f:
+            for i, j in pairs:
+                f.write(f"{i}\t{j}\t{n_frag}\n")
+                for row in np.eye(6):
+                    f.write("\t".join(f"{v:.6e}" for v in row) + "\n")
+    n_pairs = len(infos["src"])
+    assert n_pairs == 3 * 36
+
+    cfg = tiny_test_config(root=str(root), exp_dir=str(tmp_path / "exp"))
+    ds = IndoorDataset(infos, cfg, data_augmentation=False)
+    model, variables = init_model(cfg)
+    tester = IndoorTester(cfg, model, variables, str(tmp_path / "gt"))
+    loader = PairLoader(ds, cfg.budgets.points[0], num_threads=4)
+    t0 = time.monotonic()
+    out = tester.run(
+        ds, loader, n_points=64, num_iterations=128, hypothesis_chunk=64,
+        est_folder=str(tmp_path / "est"),
+    )
+    wall = time.monotonic() - t0
+    print(f"dress rehearsal: {n_pairs} pairs in {wall:.1f}s "
+          f"({n_pairs / wall:.2f} pairs/s, CPU backend)", flush=True)
+    res = out["benchmark"]
+    assert set(res.per_scene) == set(scenes)
+    for scene in scenes:
+        est_log = tmp_path / "est" / scene / "est.log"
+        assert est_log.exists()
+        lines = open(est_log).read().strip().splitlines()
+        assert len(lines) == 36 * 5  # header + 4 matrix rows per pair
+        # n_frag bookkeeping: headers carry the scene's fragment count.
+        assert lines[0].split()[2] == str(n_frag)
+        assert res.per_scene[scene]["n_valid"] == 36
+    assert 0.0 <= res.weighted_recall <= 1.0
 
 
 @pytest.mark.slow
