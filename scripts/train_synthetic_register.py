@@ -41,9 +41,14 @@ def random_rotation(rng, max_deg: float = 45.0) -> np.ndarray:
 
 
 def make_synthetic_pair(cloud: np.ndarray, rng, noise: float = 0.005,
-                        max_rot_deg: float = 45.0):
+                        max_rot_deg: float = 45.0, resample_frac: float = 1.0):
     """Two overlapping half-space crops of ``cloud``; the tgt crop is moved
-    by a random SE(3).  GT satisfies rot @ src + trans = tgt."""
+    by a random SE(3).  GT satisfies rot @ src + trans = tgt.
+
+    ``resample_frac < 1`` subsamples each crop INDEPENDENTLY (different
+    random subsets), so overlap-region points are no longer 1:1 identical —
+    the property real pairs have (two different scans of one surface) that
+    makes matching honest rather than point-identity lookup."""
     center = cloud.mean(0)
     normal = rng.normal(size=3)
     normal /= np.linalg.norm(normal)
@@ -51,6 +56,11 @@ def make_synthetic_pair(cloud: np.ndarray, rng, noise: float = 0.005,
     band = 0.35 * d.std()
     src = cloud[d > -band]
     tgt0 = cloud[d < band]
+    if resample_frac < 1.0:
+        ks = max(int(len(src) * resample_frac), 1)
+        kt = max(int(len(tgt0) * resample_frac), 1)
+        src = src[rng.permutation(len(src))[:ks]]
+        tgt0 = tgt0[rng.permutation(len(tgt0))[:kt]]
     rot = random_rotation(rng, max_rot_deg)
     trans = rng.uniform(-1.0, 1.0, 3).astype(np.float32)
     src0 = src
@@ -165,7 +175,21 @@ def main():
     ap.add_argument("--out", default="perf_runs/accuracy_evidence.jsonl")
     ap.add_argument("--n-eval", type=int, default=4)
     ap.add_argument("--n-points", type=int, default=5000)
-    ap.add_argument("--max-rot-deg", type=float, default=45.0)
+    ap.add_argument("--max-rot-deg", type=float, default=45.0,
+                    help="180 = full SO(3) relative poses (random axis, "
+                         "uniform angle) — the reference's training regime")
+    ap.add_argument("--resample-frac", type=float, default=1.0,
+                    help="independently subsample each crop to this fraction "
+                         "so overlap points are not 1:1 identical (simulates "
+                         "two distinct scans of one surface)")
+    ap.add_argument("--seed", type=int, default=7, help="training-stream seed")
+    ap.add_argument("--rot-curriculum", type=int, default=0, metavar="STEPS",
+                    help="ramp the TRAINING rotation cap linearly from 30° "
+                         "to --max-rot-deg over this many steps (0 = off). "
+                         "Held-out eval pairs always use the full cap — the "
+                         "curriculum only schedules training difficulty, the "
+                         "way the reference's 150-epoch schedule amortizes "
+                         "full-2π augmentation (datasets/indoor.py:151-156)")
     ap.add_argument("--saliency-after", type=int, default=10**9,
                     help="enable the saliency loss after this step (the "
                          "reference gates it on recall>0.3, trainer.py:417-420)")
@@ -214,13 +238,15 @@ def main():
         cfg = cfg.replace(image_feature=True, in_feats_dim=129)
     cfg_sal = cfg.replace(w_saliency_loss=1.0)
     clouds = list(load_assets_pair())
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(args.seed)
     ih, iw = args.img_size
 
-    def sample_batch(r):
+    def sample_batch(r, rot_cap=None):
         cloud = clouds[int(r.integers(0, len(clouds)))]
         src, tgt, rot, trans, src0, tgt0 = make_synthetic_pair(
-            cloud, r, max_rot_deg=args.max_rot_deg
+            cloud, r,
+            max_rot_deg=rot_cap if rot_cap is not None else args.max_rot_deg,
+            resample_frac=args.resample_frac,
         )
         batch = make_pair_batch(
             [dict(src_pcd=src, tgt_pcd=tgt, rot=rot, trans=trans)],
@@ -244,9 +270,14 @@ def main():
             }
         return batch, images, (src, tgt, rot, trans)
 
-    # Held-out evaluation pairs (fixed seed, disjoint from training stream).
-    eval_rng = np.random.default_rng(12345)
-    eval_pairs = [sample_batch(eval_rng) for _ in range(args.n_eval)]
+    # Held-out evaluation pairs: one independent generator PER PAIR so the
+    # pair geometry is identical across run modes (--images consumes extra
+    # draws for view rendering; a shared sequential generator would shift
+    # every later pair and break images-vs-geometry comparability).
+    eval_pairs = [
+        sample_batch(np.random.default_rng(12345 + 1000 * i))
+        for i in range(args.n_eval)
+    ]
 
     if args.images:
         from pcrcg_tpu.models.pcrcg import PCRCG
@@ -318,20 +349,43 @@ def main():
         log.flush()
         print(json.dumps(rec), flush=True)
 
-    emit(dict(event="start", steps=args.steps, budget=args.budget, lr=args.lr))
+    emit(dict(
+        event="start", steps=args.steps, budget=args.budget, lr=args.lr,
+        max_rot_deg=args.max_rot_deg, n_eval=args.n_eval,
+        resample_frac=args.resample_frac, images=bool(args.images),
+        optimizer=args.optimizer, pair_pool=args.pair_pool, seed=args.seed,
+    ))
     emit(dict(event="eval", **evaluate(state, 0)))
+
+    def train_rot_cap(step):
+        if not args.rot_curriculum:
+            return args.max_rot_deg
+        frac = min(1.0, step / args.rot_curriculum)
+        return 30.0 + (args.max_rot_deg - 30.0) * frac
 
     pool = None
     if args.pair_pool:
-        pool = [sample_batch(rng) for _ in range(args.pair_pool)]
+        # With a curriculum the pool is generated in ascending-difficulty
+        # order; training draws from the prefix allowed at the current step.
+        if args.rot_curriculum:
+            caps = [30.0 + (args.max_rot_deg - 30.0) * i / max(args.pair_pool - 1, 1)
+                    for i in range(args.pair_pool)]
+        else:
+            caps = [None] * args.pair_pool
+        pool = [sample_batch(rng, cap) for cap in caps]
 
     key = jax.random.key(999)
     t0 = time.perf_counter()
     for step in range(1, args.steps + 1):
         if pool is not None:
-            batch, images, _ = pool[int(rng.integers(0, len(pool)))]
+            if args.rot_curriculum:
+                frac = min(1.0, step / args.rot_curriculum)
+                hi = max(8, int(len(pool) * frac))
+                batch, images, _ = pool[int(rng.integers(0, min(hi, len(pool))))]
+            else:
+                batch, images, _ = pool[int(rng.integers(0, len(pool)))]
         else:
-            batch, images, _ = sample_batch(rng)
+            batch, images, _ = sample_batch(rng, train_rot_cap(step))
         step_cfg = cfg_sal if step >= args.saliency_after else cfg
         state, stats = train_step(
             model, step_cfg, state, batch, jax.random.fold_in(key, step),
