@@ -15,9 +15,11 @@ static shapes.  Semantics preserved exactly:
   relies on; kept verbatim for fidelity).
 
 The per-kernel-point matmul is einsum'd so XLA maps it onto the MXU as one
-[N·K, Cin] × [Cin, Cout·?] batched contraction.  Deformable KPConv
-(blocks.py:235-316) is intentionally not implemented: every shipped config
-sets deformable False (configs/train/indoor.yaml:44).
+[N·K, Cin] × [Cin, Cout·?] batched contraction.  Deformable (and modulated)
+KPConv (blocks.py:235-316) is implemented below (kpconv_deformable) and
+parity-tested against the reference torch op including in-range pruning
+(tests/test_reference_parity.py); the shipped configs keep it off
+(deformable False, configs/train/indoor.yaml:44), matching the reference.
 """
 from __future__ import annotations
 
