@@ -79,6 +79,10 @@ def main(batch_size: int = None):
     from pcrcg_tpu.registration.sampling import weighted_sample_topk
 
     cfg = Config(compute_dtype=compute_dtype)
+    if "PCRCG_BENCH_FEAT_LIMBS" in os.environ:
+        cfg = cfg.replace(
+            tiled_feat_limbs=int(os.environ["PCRCG_BENCH_FEAT_LIMBS"])
+        )
     if "PCRCG_BENCH_QCHUNK" in os.environ:
         import dataclasses
 

@@ -72,7 +72,9 @@ class Budgets:
     # Cap on ground-truth correspondence candidates per source point.
     corr_k: int = 16
     # Query chunk for the tiled radius search (memory/latency tradeoff).
-    query_chunk: int = 1024
+    # On-chip A/B (perf_runs/session_r2b): 2048 benched 9.81/9.68 pairs/s
+    # vs 1024's 9.435 same-session — fewer, larger search dispatches.
+    query_chunk: int = 2048
     # Neighbor-search pruning: 'tiled' prunes support candidates to the
     # m_tiles Z-order tiles nearest each query chunk (ops/tiled_search.py);
     # 'dense' always scans every support.  'tiled' falls back to dense
@@ -220,6 +222,12 @@ class Config:
     # mesh-sharded (GSPMD dp x model) training disables it and keeps the
     # merged-gather kernels; single-device runs keep it on.
     kpconv_tiled: bool = True
+    # bf16 limbs for the FEATURE rows of the candidate-DMA kernel's one-hot
+    # E matmul (coords always 3-limb ~f32-exact).  2 = hi/lo (~2^-16
+    # relative; training/parity default), 1 = single limb (~2^-9 — the
+    # same error grade as the Mosaic one-bf16-pass f32 W contraction that
+    # follows) with ~40% fewer E-matmul MACs, the forward's dominant cost.
+    tiled_feat_limbs: int = 2
     seed: int = 42
     # Explicit architecture block-name list (reference configs/models.py
     # lists, including *_deformable variants); None -> the per-dataset

@@ -366,6 +366,9 @@ class KPConv(nn.Module):
     modulated: bool = False
 
     tiled_meta_tile: int = 128
+    # bf16 limbs for feature rows in the candidate-DMA kernel (1 = fast
+    # single-limb, 2 = hi/lo exact-ish; see ops/kpconv_tiled.py).
+    tiled_feat_limbs: int = 2
 
     @nn.compact
     def __call__(self, q_pts, s_pts, neighb_inds, x, neighbors_rel=None,
@@ -491,7 +494,7 @@ class KPConv(nn.Module):
                     neighb_inds.reshape(b * nq, -1),
                     kernel_points, weights,
                     float(self.kp_extent), self.influence, self.aggregation,
-                    tile=mt,
+                    tile=mt, feat_limbs=self.tiled_feat_limbs,
                 )
                 out = out / ncount[:, None].astype(out.dtype)
                 return out.reshape(b, nq, -1)
@@ -501,7 +504,7 @@ class KPConv(nn.Module):
                     q_pts[bi], s_pts[bi], feats[bi], lidx[bi], tiles[bi],
                     neighb_inds[bi], kernel_points, weights,
                     float(self.kp_extent), self.influence, self.aggregation,
-                    tile=mt,
+                    tile=mt, feat_limbs=self.tiled_feat_limbs,
                 )
                 outs.append(out_b / nn_b[:, None].astype(out_b.dtype))
             return jnp.stack(outs)

@@ -149,6 +149,7 @@ class KPFCNN(nn.Module):
             fixed=cfg.fixed_kernel_points,
             impl=resolve_kpconv_impl(cfg.kpconv_impl),
             tiled_meta_tile=cfg.budgets.search_tile,
+            tiled_feat_limbs=cfg.tiled_feat_limbs,
         )
         extent_ratio = cfg.KP_extent / cfg.conv_radius
 

@@ -85,6 +85,7 @@ def _build_kernel(
     save_residuals: bool,
     c_tiles: int,
     d_tiles: int,
+    feat_limbs: int,
 ):
     """Grid (g, jd, jc), c innermost: each step covers one (query group,
     output block, channel block).  Every channel block carries the 8
@@ -122,6 +123,14 @@ def _build_kernel(
     canda = canda_ref[:]  # [rows_pad, CAND] bf16 (junk pad rows at bottom)
     c_blk = nx_ref.shape[1]
     c4 = 8 + c_blk
+
+    first_d = jd == 0
+
+    # hsum accumulates per-neighbor feature sums across the jc steps (from
+    # the f32 header row 4 gathered below) — zero it before the unpack loop.
+    @pl.when(jnp.logical_and(first_d, jc == 0))
+    def _():
+        hsum_ref[:] = jnp.zeros_like(hsum_ref)
     # Process HB h-steps per matmul: one [rows, CAND] @ [CAND, HB*T] dot
     # amortizes instruction overhead ~HB-fold vs per-h dots.
     hb = 8
@@ -135,15 +144,36 @@ def _build_kernel(
             canda, ef, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [rows_pad, HB*T]
-        full = nxa[:c4] + nxa[c4 : 2 * c4]
-        limb3 = nxa[2 * c4 : 2 * c4 + 8]
+        if feat_limbs == 2:
+            # Layout [hi(8+c) | lo(8+c) | limb3 header(8)]: features
+            # recombine hi+lo (~2^-16 relative), coords add the third limb.
+            full = nxa[:c4] + nxa[c4 : 2 * c4]
+            limb3 = nxa[2 * c4 : 2 * c4 + 8]
+            hdr = full[:8]
+            feats_rows = full[8:]
+        else:
+            # Layout [hi(8+c) | lo header(8) | limb3 header(8)]: features
+            # ride a SINGLE bf16 limb (~2^-9 relative — the same grade the
+            # final f32 W contraction already has, since Mosaic lowers f32
+            # dot_general to one bf16 MXU pass); coords stay 3-limb exact.
+            hdr = nxa[:8] + nxa[c4 : c4 + 8]
+            limb3 = nxa[c4 + 8 : c4 + 16]
+            feats_rows = nxa[8:c4]
         for j in range(hb_cur):
             h = h0 + j
             sl = slice(j * _T, (j + 1) * _T)
-            rxyz_ref[0, h] = full[0, sl] + limb3[0, sl] - q3_ref[0]
-            rxyz_ref[1, h] = full[1, sl] + limb3[1, sl] - q3_ref[1]
-            rxyz_ref[2, h] = full[2, sl] + limb3[2, sl] - q3_ref[2]
-            nx_ref[h] = full[8:, sl]
+            rxyz_ref[0, h] = hdr[0, sl] + limb3[0, sl] - q3_ref[0]
+            rxyz_ref[1, h] = hdr[1, sl] + limb3[1, sl] - q3_ref[1]
+            rxyz_ref[2, h] = hdr[2, sl] + limb3[2, sl] - q3_ref[2]
+            nx_ref[h] = feats_rows[:, sl]
+
+            # Per-neighbor feature sums for the count heuristic come from
+            # the precomputed f32 header row 4 (~f32-exact with its third
+            # limb) — NOT from summing the bf16 feature rows, whose
+            # rounding flips the >0 test for near-zero sums.
+            @pl.when(first_d)
+            def _():
+                hsum_ref[h, :] += hdr[4, sl] + limb3[4, sl]
 
     # 3. Standard fused KPConv math on the VMEM-resident rows.
     _compute_wgt(
@@ -155,23 +185,10 @@ def _build_kernel(
     for k in range(k_count):
         acc_ref[k] = jnp.zeros_like(acc_ref[0])
 
-    first_d = jd == 0
-
-    @pl.when(jnp.logical_and(first_d, jc == 0))
-    def _():
-        hsum_ref[:] = jnp.zeros_like(hsum_ref)
-
     def h_step(h, _):
         nxh = nx_ref[h]  # [c_blk, T]
         for k in range(k_count):
             acc_ref[k] += wgt_ref[k, h][None, :] * nxh
-
-        # Per-neighbor feature sums over ALL channel blocks (for the
-        # neighbor-count heuristic, reference blocks.py:369-372).
-        @pl.when(first_d)
-        def _():
-            hsum_ref[h, :] += jnp.sum(nxh, axis=0)
-
         return 0
 
     jax.lax.fori_loop(0, h_count, h_step, 0)
@@ -282,10 +299,18 @@ def kpconv_tiled(
     interpret: bool = False,
     save_residuals: bool = False,
     tile: int = 128,
+    feat_limbs: int = 2,
 ):
     """Candidate-DMA fused KPConv forward.  Returns (out [Nq, D] BEFORE the
     neighbor-count division, nn [Nq] f32); with ``save_residuals`` also
-    (nx [H, C8, Gp*T], rel planes 3x[H, Gp*T]) for the backward."""
+    (nx [H, C8, Gp*T], rel planes 3x[H, Gp*T]) for the backward.
+
+    ``feat_limbs``: bf16 limbs for the FEATURE rows of the one-hot E
+    matmul (coords always use 3 limbs).  2 = hi/lo, ~2^-16 relative
+    (training/parity default); 1 = single limb, ~2^-9 relative — the same
+    error grade as the Mosaic one-bf16-pass f32 W contraction that
+    follows, and ~40% fewer E-matmul MACs (the forward's dominant cost)."""
+    assert feat_limbs in (1, 2), feat_limbs
     nq = q_pts.shape[0]
     ns = s_pts.shape[0]
     k_count, c_in, d = weights.shape
@@ -311,17 +336,32 @@ def kpconv_tiled(
     base = base.at[:3, :ns].set(s_pts.T.astype(jnp.float32))
     base = base.at[3, :ns].set(1.0)
     base = base.at[8 : 8 + c_in, :ns].set(s_feats.T.astype(jnp.float32))
+    # Header row 4 carries the per-channel-block FEATURE SUM in f32 (set
+    # per block below): the neighbor-count heuristic (feat-sum > 0,
+    # reference blocks.py:369-372) must not flip sign to bf16 rounding of
+    # near-zero sums — summing the bf16 feature rows in-kernel did exactly
+    # that with feat_limbs=1.  Row 4 rides the same 2/3-limb split as the
+    # coordinate rows, so the recombined sum is ~f32-exact.
     # Per block: [2*(8+c_blk) + 8] bf16 rows — hi rows, lo rows, then a
     # third limb for the coord rows (geometry must stay ~f32-exact).
     header = base[:8]
     blocks = []
     for jc in range(c_tiles):
-        blk = jnp.concatenate(
-            [header, base[8 + jc * c_blk : 8 + (jc + 1) * c_blk]], axis=0
-        )
-        blocks.append(
-            jnp.concatenate([_split_hi_lo(blk), _third_limb(header)], axis=0)
-        )
+        feats_blk = base[8 + jc * c_blk : 8 + (jc + 1) * c_blk]
+        hdr_jc = header.at[4].set(jnp.sum(feats_blk, axis=0))
+        blk = jnp.concatenate([hdr_jc, feats_blk], axis=0)
+        if feat_limbs == 2:
+            packed = jnp.concatenate(
+                [_split_hi_lo(blk), _third_limb(hdr_jc)], axis=0
+            )
+        else:
+            hl = _split_hi_lo(blk)  # [2*(8+c_blk), Ns_pad]
+            packed = jnp.concatenate(
+                [hl[: 8 + c_blk],                  # hi of header + features
+                 hl[8 + c_blk : 8 + c_blk + 8],    # lo of header only
+                 _third_limb(hdr_jc)], axis=0,
+            )
+        blocks.append(packed)
     supa = jnp.stack(blocks, axis=0)  # [c_tiles, rows, Ns_pad]
     rows = supa.shape[1]
     rows_pad = ((rows + 15) // 16) * 16  # bf16 sublane tiling
@@ -362,6 +402,7 @@ def kpconv_tiled(
         save_residuals=save_residuals,
         c_tiles=c_tiles,
         d_tiles=d_tiles,
+        feat_limbs=feat_limbs,
     )
     cand = m_tiles * tile
     res_shape = (h_count, c8, nq_pad) if save_residuals else (1, 1, 1)
@@ -633,7 +674,7 @@ def _make_maxpool_core(tile, interpret):
 def kpconv_tiled_ad(
     q_pts, s_pts, s_feats, lidx, tiles, gidx, kernel_points, weights,
     kp_extent, influence="linear", aggregation="sum", interpret=False,
-    tile: int = 128,
+    tile: int = 128, feat_limbs: int = 2,
 ):
     """Differentiable candidate-DMA KPConv: gradients flow to ``s_feats``
     and ``weights`` only (geometry/indices are fixed, like every KPConv
@@ -646,10 +687,13 @@ def kpconv_tiled_ad(
     cotangents."""
     import numpy as _np
 
-    core = _TILED_CORE_CACHE.get((kp_extent, influence, aggregation, interpret, tile))
+    key = (kp_extent, influence, aggregation, interpret, tile, feat_limbs)
+    core = _TILED_CORE_CACHE.get(key)
     if core is None:
-        core = _make_tiled_core(kp_extent, influence, aggregation, interpret, tile)
-        _TILED_CORE_CACHE[(kp_extent, influence, aggregation, interpret, tile)] = core
+        core = _make_tiled_core(
+            kp_extent, influence, aggregation, interpret, tile, feat_limbs
+        )
+        _TILED_CORE_CACHE[key] = core
     return core(
         jax.lax.stop_gradient(q_pts),
         jax.lax.stop_gradient(s_pts),
@@ -663,7 +707,8 @@ def kpconv_tiled_ad(
 _TILED_CORE_CACHE: dict = {}
 
 
-def _make_tiled_core(kp_extent, influence, aggregation, interpret, tile):
+def _make_tiled_core(kp_extent, influence, aggregation, interpret, tile,
+                     feat_limbs=2):
     import numpy as _np
 
     @jax.custom_vjp
@@ -671,13 +716,14 @@ def _make_tiled_core(kp_extent, influence, aggregation, interpret, tile):
         return kpconv_tiled(
             q_pts, s_pts, feats, lidx, tiles, kp, w,
             kp_extent, influence, aggregation, interpret=interpret, tile=tile,
+            feat_limbs=feat_limbs,
         )
 
     def core_fwd(q_pts, s_pts, feats, lidx, tiles, gidx, kp, w):
         out, nn, res = kpconv_tiled(
             q_pts, s_pts, feats, lidx, tiles, kp, w,
             kp_extent, influence, aggregation, interpret=interpret, tile=tile,
-            save_residuals=True,
+            feat_limbs=feat_limbs, save_residuals=True,
         )
         meta = (q_pts.shape[0], feats.shape[0], feats.shape[1], lidx.shape[1],
                 w.shape[2], lidx.shape, tiles.shape, gidx.shape)

@@ -52,6 +52,17 @@ if __name__ == "__main__":
     impl = sys.argv[2] if len(sys.argv) > 2 else "fused"
 
     cfg = Config(kpconv_impl=impl)
+    # Honor bench.py's env knobs so traces match the benched config.
+    if "PCRCG_BENCH_FEAT_LIMBS" in os.environ:
+        cfg = cfg.replace(tiled_feat_limbs=int(os.environ["PCRCG_BENCH_FEAT_LIMBS"]))
+    if "PCRCG_BENCH_QCHUNK" in os.environ:
+        import dataclasses
+
+        cfg = cfg.replace(
+            budgets=dataclasses.replace(
+                cfg.budgets, query_chunk=int(os.environ["PCRCG_BENCH_QCHUNK"])
+            )
+        )
     src, tgt = load_assets_pair()
     batch = make_pair_batch(
         [dict(src_pcd=src, tgt_pcd=tgt, rot=np.eye(3), trans=np.zeros(3))],

@@ -372,7 +372,15 @@ def main():
                     for i in range(args.pair_pool)]
         else:
             caps = [None] * args.pair_pool
-        pool = [sample_batch(rng, cap) for cap in caps]
+        # One independent generator PER POOL ENTRY (same reason as the eval
+        # pairs): --images consumes extra draws per sample for view
+        # rendering, so a shared sequential generator would give the
+        # geometry-only and --images runs different training pools and
+        # break the same-pool comparison.
+        pool = [
+            sample_batch(np.random.default_rng(777_000 + args.seed * 10_000 + i), cap)
+            for i, cap in enumerate(caps)
+        ]
 
     key = jax.random.key(999)
     t0 = time.perf_counter()

@@ -39,6 +39,27 @@ def test_tiled_kernel_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
 
+def test_tiled_kernel_single_limb_features(rng):
+    """feat_limbs=1 packs feature rows as ONE bf16 limb: same result to
+    bf16 tolerance (~2^-9 relative), with coords still ~f32-exact (the
+    influence weights, which gate everything, must not degrade)."""
+    q, sup, feats, gidx, lidx, tiles, kp, w = _setup(rng)
+    extent = 0.08
+    want = kpconv(q, sup, gidx, feats, kp, w, extent)
+    out, nn = kpconv_tiled(
+        q, sup, feats, lidx, tiles, kp, w, extent, interpret=True, tile=32,
+        feat_limbs=1,
+    )
+    got = np.asarray(out / nn[:, None])
+    want = np.asarray(want)
+    # bf16-grade agreement, elementwise relative to the row scale.
+    scale = np.maximum(np.abs(want).max(axis=-1, keepdims=True), 1e-3)
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+    # And clearly tighter than garbage: median relative error ~2^-9.
+    med = np.median(np.abs(got - want) / scale)
+    assert med < 5e-3, med
+
+
 def test_tiled_kernel_influences_and_closest(rng):
     q, sup, feats, gidx, lidx, tiles, kp, w = _setup(rng)
     extent = 0.08
