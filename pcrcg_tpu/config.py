@@ -223,11 +223,13 @@ class Config:
     # merged-gather kernels; single-device runs keep it on.
     kpconv_tiled: bool = True
     # bf16 limbs for the FEATURE rows of the candidate-DMA kernel's one-hot
-    # E matmul (coords always 3-limb ~f32-exact).  2 = hi/lo (~2^-16
-    # relative; training/parity default), 1 = single limb (~2^-9 — the
-    # same error grade as the Mosaic one-bf16-pass f32 W contraction that
-    # follows) with ~40% fewer E-matmul MACs, the forward's dominant cost.
-    tiled_feat_limbs: int = 2
+    # E matmul (coords always 3-limb ~f32-exact).  1 = single limb (~2^-9
+    # relative — the same error grade as the Mosaic one-bf16-pass f32 W
+    # contraction that follows) with ~40% fewer E-matmul MACs, the
+    # forward's dominant cost; on-chip A/B (scripts/ab_feat_limbs.py,
+    # session_r3b): 9.56 vs 8.27 pairs/s, descriptor cosine 0.99998 /
+    # p1 0.99994 vs the 2-limb kernel.  2 = hi/lo (~2^-16, parity grade).
+    tiled_feat_limbs: int = 1
     seed: int = 42
     # Explicit architecture block-name list (reference configs/models.py
     # lists, including *_deformable variants); None -> the per-dataset
