@@ -91,6 +91,14 @@ def main(batch_size: int = None):
                 cfg.budgets, query_chunk=int(os.environ["PCRCG_BENCH_QCHUNK"])
             )
         )
+    if "PCRCG_BENCH_MTILES" in os.environ:
+        import dataclasses
+
+        raw = os.environ["PCRCG_BENCH_MTILES"]
+        mt = tuple(int(v) for v in raw.split(",")) if "," in raw else int(raw)
+        cfg = cfg.replace(
+            budgets=dataclasses.replace(cfg.budgets, search_m_tiles=mt)
+        )
     if image_feature:
         cfg = cfg.replace(
             image_feature=True,
@@ -149,6 +157,12 @@ def main(batch_size: int = None):
     def register_pair(points, masks, features, key):
         return register_pair_impl(variables, images, points, masks, features, key)
 
+    # PCRCG_BENCH_LAXMAP=N: run N pairs per dispatch via lax.map (NOT vmap
+    # — scalar-prefetch Pallas grids don't vmap, and lax.map keeps the
+    # candidate-DMA kernels).  Device work stays linear in N; the per-call
+    # dispatch/readback overhead (the wall - device gap) is paid once per
+    # N pairs.
+    lax_n = int(os.environ.get("PCRCG_BENCH_LAXMAP", "1"))
     if batch_size > 1:
         batched = jax.jit(
             jax.vmap(register_pair_impl, in_axes=(None, None, 0, 0, 0, 0))
@@ -157,6 +171,20 @@ def main(batch_size: int = None):
             variables, images, p, m, f, jax.random.split(k, batch_size)
         )
         args = (batch.points, batch.masks, batch.features)
+    elif lax_n > 1:
+        @jax.jit
+        def register_lax(variables, images, points, masks, features, keys):
+            def body(k):
+                T, fit = register_pair_impl(
+                    variables, images, points, masks, features, k
+                )
+                return T, fit
+            return jax.lax.map(body, keys)
+
+        register = lambda p, m, f, k: register_lax(
+            variables, images, p, m, f, jax.random.split(k, lax_n)
+        )
+        args = (batch.points[0], batch.masks[0], batch.features[0])
     else:
         register = register_pair
         args = (batch.points[0], batch.masks[0], batch.features[0])
@@ -187,7 +215,7 @@ def main(batch_size: int = None):
     for T in inflight:
         float(jnp.sum(T))
     dt = time.perf_counter() - t0
-    pairs_per_sec = iters * batch_size / dt
+    pairs_per_sec = iters * batch_size * lax_n / dt
 
     metric = "end_to_end_registration_pairs_per_sec_per_chip"
     if image_feature:

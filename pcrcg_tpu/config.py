@@ -89,7 +89,10 @@ class Budgets:
     # 8.49 pairs/s.  12 stays above the 0.95 recall floor validated by the
     # round-1 approx-top-k A/B and re-validated end-task by the accuracy-
     # evidence run at this setting (perf_runs/accuracy_evidence_m12.jsonl).
-    search_m_tiles: int = 12
+    # An int applies to every level; a per-level tuple lets the coarser
+    # levels run leaner (their m=12 recall was already 0.994/1.0, and both
+    # the search and the candidate-DMA conv cost scale in m).
+    search_m_tiles: int | Tuple[int, ...] = 12
     # Exact per-row top-k inside the tiled search (affordable on the pruned
     # ~3k-candidate sets) instead of approx_min_k at recall 0.95.
     search_exact: bool = False
@@ -97,6 +100,14 @@ class Budgets:
     @property
     def num_levels(self) -> int:
         return len(self.points)
+
+    def m_tiles_at(self, level: int) -> int:
+        """Candidate-tile budget for pyramid level ``level`` (clamped to the
+        last entry when a per-level tuple is shorter than num_levels)."""
+        m = self.search_m_tiles
+        if isinstance(m, int):
+            return m
+        return m[min(level, len(m) - 1)]
 
 
 @dataclass(frozen=True)
@@ -353,7 +364,11 @@ def config_from_dict(flat: Dict[str, Any]) -> Config:
                 query_chunk=value.get("query_chunk", defaults.query_chunk),
                 search_impl=value.get("search_impl", defaults.search_impl),
                 search_tile=value.get("search_tile", defaults.search_tile),
-                search_m_tiles=value.get("search_m_tiles", defaults.search_m_tiles),
+                search_m_tiles=(
+                    tuple(value["search_m_tiles"])
+                    if isinstance(value.get("search_m_tiles"), (list, tuple))
+                    else value.get("search_m_tiles", defaults.search_m_tiles)
+                ),
                 search_exact=value.get("search_exact", defaults.search_exact),
             )
         if key not in _FIELD_NAMES:

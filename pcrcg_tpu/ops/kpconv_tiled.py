@@ -49,6 +49,15 @@ from pcrcg_tpu.ops.kpconv_fused import _compute_wgt, _pad_to, _bwd_from_planes
 
 _T = 128  # queries per group (fixed by the tiled search's group size)
 
+# Widest input-channel count still run as ONE channel block.  Every
+# per-c-block visit repays the full one-hot E build (~16M VPU ops per
+# group — the kernel's dominant cost, PERF.md round-3 trace model), so
+# blocking C=129 (the images-path first conv) into 2×128 blocks padded
+# to 256 nearly doubled its kernel time (17.7 ms traced vs ~2 ms for the
+# geometry C=1 twin).  A single 136-row block fits VMEM comfortably
+# (~10 MB with double buffering at the 160 cap).
+_C_SINGLE_MAX = 160
+
 
 def _build_kernel(
     # scalar-prefetch
@@ -318,14 +327,15 @@ def kpconv_tiled(
     m_tiles = tiles.shape[1]
     g_count = tiles.shape[0]
 
-    # Channel blocking: up to 128 input channels per block (VMEM-sized);
-    # wide layers (C = 256/512 at upper pyramid levels) run c_tiles blocks
-    # per group, each carrying its own 8 coordinate header rows.
-    if c_in <= 128:
+    # Channel blocking: a SINGLE block up to _C_SINGLE_MAX input channels
+    # (each extra c block repays the whole one-hot E build); wider layers
+    # (C = 256/512 at upper pyramid levels) run 128-row c_tiles blocks per
+    # group, each carrying its own 8 coordinate header rows.
+    if c_in <= _C_SINGLE_MAX:
         c8 = max(8, ((c_in + 7) // 8) * 8)
     else:
         c8 = ((c_in + 127) // 128) * 128
-    c_blk = min(c8, 128)
+    c_blk = min(c8, 128) if c8 > _C_SINGLE_MAX else c8
     c_tiles = c8 // c_blk
 
     # Support rows, padded to the search's tile grid: per channel block
@@ -541,7 +551,9 @@ def _scatter_ds_feats(dnx_t, lidx, tiles, ns, c_in, tile, interpret=False):
     h_count, c8, nq_pad = dnx_t.shape
     g_count, m_tiles = tiles.shape
     cand = m_tiles * tile
-    c_blk = min(c8, 128)
+    # Mirror the forward's blocking: single block up to _C_SINGLE_MAX
+    # (c8 // 128 would silently DROP channels 128..c8-1 for c8 = 136).
+    c_blk = min(c8, 128) if c8 > _C_SINGLE_MAX else c8
     lidx_t = lidx.reshape(g_count, _T, h_count).transpose(0, 2, 1)  # [G,H,T]
 
     dcand = pl.pallas_call(

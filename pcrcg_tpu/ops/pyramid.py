@@ -81,25 +81,38 @@ def build_pyramid(
     chunk = budgets.query_chunk
 
     if budgets.search_impl == "tiled":
-        def search_one(q, s, m, r, cap, ch):
-            return radius_search_tiled(
-                q, s, m, r, cap,
-                tile=budgets.search_tile, m_tiles=budgets.search_m_tiles,
-                query_chunk=ch, exact=budgets.search_exact,
+        # m_tiles may be per-level (budgets.m_tiles_at); the searches at
+        # level ℓ (conv, pool — supports live at level ℓ) use m_tiles[ℓ].
+        def make_search(level):
+            mt = budgets.m_tiles_at(level)
+
+            def search_one(q, s, m, r, cap, ch):
+                return radius_search_tiled(
+                    q, s, m, r, cap,
+                    tile=budgets.search_tile, m_tiles=mt,
+                    query_chunk=ch, exact=budgets.search_exact,
+                )
+
+            def search_local_one(q, s, m, r, cap, ch):
+                return radius_search_tiled(
+                    q, s, m, r, cap,
+                    tile=budgets.search_tile, m_tiles=mt,
+                    query_chunk=ch, exact=budgets.search_exact,
+                    return_local=True,
+                )
+
+            return (
+                jax.vmap(search_one, in_axes=(0, 0, 0, None, None, None)),
+                jax.vmap(search_local_one, in_axes=(0, 0, 0, None, None, None)),
             )
 
-        def search_local_one(q, s, m, r, cap, ch):
-            return radius_search_tiled(
-                q, s, m, r, cap,
-                tile=budgets.search_tile, m_tiles=budgets.search_m_tiles,
-                query_chunk=ch, exact=budgets.search_exact, return_local=True,
-            )
-
-        search_local = jax.vmap(search_local_one, in_axes=(0, 0, 0, None, None, None))
+        per_level = [make_search(level) for level in range(num_levels)]
+        search_at = lambda level: per_level[level][0]
+        search_local_at = lambda level: per_level[level][1]
     else:
-        search_one = radius_search
-        search_local = None
-    search = jax.vmap(search_one, in_axes=(0, 0, 0, None, None, None))
+        dense = jax.vmap(radius_search, in_axes=(0, 0, 0, None, None, None))
+        search_at = lambda level: dense
+        search_local_at = None
 
     def subsample_one(p, m, dl, n):
         # order='morton': the subsample's own sort key doubles as the
@@ -141,12 +154,12 @@ def build_pyramid(
         cap = budgets.neighbors[level]
         pts, msk = lvl_points[level], lvl_masks[level]
         r_conv = r * deform_scale if (deform_conv and deform_conv[level]) else r
-        if search_local is not None:
-            idx, lidx, tls = search_local(pts, pts, msk, r_conv, cap, chunk)
+        if search_local_at is not None:
+            idx, lidx, tls = search_local_at(level)(pts, pts, msk, r_conv, cap, chunk)
             neighbors.append(idx)
             conv_local.append(None if lidx is None else (lidx, tls))
         else:
-            neighbors.append(search(pts, pts, msk, r_conv, cap, chunk))
+            neighbors.append(search_at(level)(pts, pts, msk, r_conv, cap, chunk))
             conv_local.append(None)
         if level + 1 < num_levels:
             dl = 2.0 * r / conv_radius
@@ -154,18 +167,23 @@ def build_pyramid(
             pool_p, pool_m, n_voxels = subsample(pts, msk, dl, n_next)
             overflow.append(n_voxels - n_next)
             r_pool = r * deform_scale if (deform_pool and deform_pool[level]) else r
-            if search_local is not None:
-                pidx, plidx, ptls = search_local(pool_p, pts, msk, r_pool, cap, chunk)
+            if search_local_at is not None:
+                pidx, plidx, ptls = search_local_at(level)(pool_p, pts, msk, r_pool, cap, chunk)
                 pools.append(pidx)
                 pool_local.append(None if plidx is None else (plidx, ptls))
             else:
-                pools.append(search(pool_p, pts, msk, r_pool, cap, chunk))
+                pools.append(search_at(level)(pool_p, pts, msk, r_pool, cap, chunk))
                 pool_local.append(None)
             # Upsample lists are consumed ONLY by closest_pool / nearest
             # upsampling, which reads the single closest coarse point
             # (reference models/blocks.py:71-83 keeps just inds[:,0]); a k=1
-            # search skips the per-row top-H selection entirely.
-            upsamples.append(search(pts, pool_p, pool_m, 2.0 * r, 1, chunk))
+            # search skips the per-row top-H selection entirely.  Supports
+            # live at level+1, so that level's m_tiles applies.
+            upsamples.append(
+                search_at(min(level + 1, num_levels - 1))(
+                    pts, pool_p, pool_m, 2.0 * r, 1, chunk
+                )
+            )
             lvl_points.append(pool_p)
             lvl_masks.append(pool_m)
         r *= 2.0

@@ -68,10 +68,16 @@ if __name__ == "__main__":
     )(pts, msk)
     jax.block_until_ready(pyr_exact.neighbors)
 
-    # argv: pairs like 128:12 64:20 64:16  (search_tile:m_tiles)
-    combos = [
-        tuple(int(v) for v in arg.split(":")) for arg in sys.argv[1:]
-    ] or [(128, 24), (128, 16), (128, 12)]
+    # argv: search_tile:m_tiles, where m_tiles is an int OR a per-level
+    # comma list — e.g. 128:12 128:12,10,8,8
+    def parse(arg):
+        tile_s, m_s = arg.split(":")
+        m = tuple(int(v) for v in m_s.split(",")) if "," in m_s else int(m_s)
+        return int(tile_s), m
+
+    combos = [parse(arg) for arg in sys.argv[1:]] or [
+        (128, 24), (128, 16), (128, 12)
+    ]
 
     model_vars = None
     for tile_sz, m_tiles in combos:

@@ -149,6 +149,62 @@ def test_tiled_kernel_wide_channels(rng):
     assert_close(dw_got, dw_ref)
 
 
+def test_tiled_kernel_midwide_channels(rng):
+    """c_in in (128, _C_SINGLE_MAX] — the images-path first conv (C=129,
+    reference architectures.py:360-370 repeat(1,129)) — runs as a SINGLE
+    channel block (c8=136, c_tiles=1).  Forward and gradients must match
+    the XLA path; the gradient check also covers _scatter_ds_feats at a
+    non-multiple-of-128 c8 (which 128-blocking would silently truncate)."""
+    q, sup, feats, gidx, lidx, tiles, kp, w = _setup(rng, c=129, d=64)
+    extent = 0.08
+    want = kpconv(q, sup, gidx, feats, kp, w, extent)
+    out, nn = kpconv_tiled(
+        q, sup, feats, lidx, tiles, kp, w, extent, interpret=True, tile=32,
+    )
+    got = out / nn[:, None]
+
+    def assert_close(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-3, atol=1e-4 * max(np.abs(b).max(), 1.0)
+        )
+
+    assert_close(got, want)
+
+    cot = jnp.asarray(
+        np.random.default_rng(3).normal(size=(q.shape[0], w.shape[2])).astype(np.float32)
+    )
+
+    def loss_ref(f_, w_):
+        out_ = kpconv(q, sup, gidx, f_, kp, w_, extent)
+        return jnp.sum(out_ * cot)
+
+    def loss_tiled(f_, w_):
+        out_, nn_ = kpconv_tiled_ad(
+            q, sup, f_, lidx, tiles, gidx, kp, w_, extent, interpret=True,
+            tile=32,
+        )
+        return jnp.sum(out_ / nn_[:, None] * cot)
+
+    df_ref, dw_ref = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    df_got, dw_got = jax.grad(loss_tiled, argnums=(0, 1))(feats, w)
+    assert_close(df_got, df_ref)
+    assert_close(dw_got, dw_ref)
+    # The channels past 128 must carry real gradient (the blocked-scatter
+    # truncation bug would zero them).
+    assert np.abs(np.asarray(df_got)[:, 128:]).max() > 0
+
+    # Single-limb variant (the bench/production default) at the same width.
+    out1, nn1 = kpconv_tiled(
+        q, sup, feats, lidx, tiles, kp, w, extent, interpret=True, tile=32,
+        feat_limbs=1,
+    )
+    got1 = np.asarray(out1 / nn1[:, None])
+    want_np = np.asarray(want)
+    scale = np.maximum(np.abs(want_np).max(axis=-1, keepdims=True), 1e-3)
+    np.testing.assert_allclose(got1 / scale, want_np / scale, atol=2e-2)
+
+
 def test_tiled_kernel_stacked_clouds(rng):
     """Stacking B clouds into one point set with per-cloud tile offsets
     (the one-dispatch batching in models/kpconv.py and blocks.py) matches
