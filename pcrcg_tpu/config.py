@@ -96,6 +96,11 @@ class Budgets:
     # Exact per-row top-k inside the tiled search (affordable on the pruned
     # ~3k-candidate sets) instead of approx_min_k at recall 0.95.
     search_exact: bool = False
+    # Candidate-DMA distance kernel for the tiled search on TPU
+    # (ops/search_kernel.py): one Pallas dispatch for both clouds, zero
+    # candidate row gathers.  Auto-disabled off-TPU and on the GSPMD-vmap
+    # training path (scalar-prefetch grids don't vmap, like kpconv_tiled).
+    search_kernel: bool = True
 
     @property
     def num_levels(self) -> int:
@@ -370,6 +375,7 @@ def config_from_dict(flat: Dict[str, Any]) -> Config:
                     else value.get("search_m_tiles", defaults.search_m_tiles)
                 ),
                 search_exact=value.get("search_exact", defaults.search_exact),
+                search_kernel=value.get("search_kernel", defaults.search_kernel),
             )
         if key not in _FIELD_NAMES:
             raise KeyError(f"Unknown config key: {key!r}")

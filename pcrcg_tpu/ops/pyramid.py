@@ -81,10 +81,34 @@ def build_pyramid(
     chunk = budgets.query_chunk
 
     if budgets.search_impl == "tiled":
+        # The candidate-DMA distance kernel (ops/search_kernel.py) replaces
+        # the lax.map-over-chunks XLA path on TPU: one Pallas dispatch for
+        # both clouds, zero candidate row gathers.
+        use_kernel = budgets.search_kernel and jax.default_backend() == "tpu"
+
         # m_tiles may be per-level (budgets.m_tiles_at); the searches at
         # level ℓ (conv, pool — supports live at level ℓ) use m_tiles[ℓ].
         def make_search(level):
             mt = budgets.m_tiles_at(level)
+
+            if use_kernel:
+                from pcrcg_tpu.ops.tiled_search import radius_search_tiled_batch
+
+                def search_batch(q, s, m, r, cap, ch):
+                    return radius_search_tiled_batch(
+                        q, s, m, r, cap,
+                        tile=budgets.search_tile, m_tiles=mt,
+                        exact=budgets.search_exact,
+                    )
+
+                def search_local_batch(q, s, m, r, cap, ch):
+                    return radius_search_tiled_batch(
+                        q, s, m, r, cap,
+                        tile=budgets.search_tile, m_tiles=mt,
+                        exact=budgets.search_exact, return_local=True,
+                    )
+
+                return search_batch, search_local_batch
 
             def search_one(q, s, m, r, cap, ch):
                 return radius_search_tiled(

@@ -144,6 +144,133 @@ def radius_search_tiled(
     return idx, lout.reshape(-1, k), tout.reshape(-1, m_tiles)
 
 
+def _group_tile_selection(
+    q_groups: jnp.ndarray,  # [..., G, _Q_TILE, 3]
+    tmin: jnp.ndarray,  # [..., n_tiles, 3]
+    tmax: jnp.ndarray,
+    tctr: jnp.ndarray,
+    tile_valid: jnp.ndarray,  # [..., n_tiles]
+    m_tiles: int,
+) -> jnp.ndarray:
+    """Vectorized nearest-tile selection (box distance + center tie-break,
+    same math as ``one_group`` above) -> sel [..., G, m_tiles] int32."""
+    big = jnp.float32(PAD_COORD)
+    qvalid = jnp.abs(q_groups[..., 0]) < big * 0.5  # [..., G, T]
+    qmin = jnp.min(jnp.where(qvalid[..., None], q_groups, big), axis=-2)
+    qmax = jnp.max(jnp.where(qvalid[..., None], q_groups, -big), axis=-2)
+    qctr = 0.5 * (qmin + qmax)  # [..., G, 3]
+    gap = jnp.maximum(
+        jnp.maximum(
+            tmin[..., None, :, :] - qmax[..., :, None, :],
+            qmin[..., :, None, :] - tmax[..., None, :, :],
+        ),
+        0.0,
+    )  # [..., G, n_tiles, 3]
+    score = jnp.sum(gap * gap, axis=-1) + 1e-3 * jnp.sum(
+        (tctr[..., None, :, :] - qctr[..., :, None, :]) ** 2, axis=-1
+    )
+    score = jnp.where(tile_valid[..., None, :], score, jnp.inf)
+    _, sel = jax.lax.top_k(-score, m_tiles)
+    return sel.astype(jnp.int32)
+
+
+def radius_search_tiled_batch(
+    queries: jnp.ndarray,  # [B, Nq, 3] (Z-order sorted per cloud)
+    supports: jnp.ndarray,  # [B, Ns, 3] (Z-order sorted per cloud)
+    support_mask: jnp.ndarray,  # [B, Ns]
+    radius: float,
+    k: int,
+    tile: int = 128,
+    m_tiles: int = 16,
+    exact: bool = False,
+    return_local: bool = False,
+    interpret: bool = False,
+):
+    """Batched tiled search through the candidate-DMA distance kernel
+    (ops/search_kernel.py) — ONE Pallas dispatch for all B clouds (the
+    scalar-prefetch grid doesn't vmap, so the clouds stack with per-cloud
+    tile-id offsets, like the KPConv batching in models/kpconv.py).
+
+    Replaces the lax.map-over-chunks XLA path whose ``sup_tiles[sel]``
+    candidate gathers were ~12.6 ms per pyramid (latency-bound rows;
+    perf_runs/session_r3b trace).  Same semantics as vmapping
+    ``radius_search_tiled`` over the cloud axis; cross terms carry ~2⁻¹⁶
+    relative error (bf16 limb expansion) instead of the XLA path's
+    Precision.HIGHEST — micrometres at scan scale.
+
+    Returns idx [B, Nq, k]; with ``return_local`` also lidx [B, Gp·128, k]
+    and tiles [B, G, m_tiles] (per-cloud tile ids, like the per-cloud
+    path)."""
+    from pcrcg_tpu.ops.search_kernel import (
+        pack_supports_tile_major,
+        tiled_candidate_distances,
+    )
+
+    b, nq = queries.shape[:2]
+    ns = supports.shape[1]
+
+    sup = jax.vmap(lambda s: _pad_rows(s, tile, PAD_COORD))(supports)
+    smask = jax.vmap(lambda m: _pad_rows(m, tile, False))(support_mask)
+    n_tiles = sup.shape[1] // tile
+    if n_tiles <= m_tiles:
+        # Dense fallback per cloud (identical to the un-batched path).
+        def one(q, s, m):
+            return radius_search_tiled(
+                q, s, m, radius, k, tile=tile, m_tiles=m_tiles,
+                exact=exact, return_local=return_local,
+            )
+
+        return jax.vmap(one)(queries, supports, support_mask)
+
+    sup_tiles = sup.reshape(b, n_tiles, tile, 3)
+    tmask = smask.reshape(b, n_tiles, tile)
+    big = jnp.float32(PAD_COORD)
+    tmin = jnp.min(jnp.where(tmask[..., None], sup_tiles, big), axis=2)
+    tmax = jnp.max(jnp.where(tmask[..., None], sup_tiles, -big), axis=2)
+    tctr = 0.5 * (tmin + tmax)
+    tile_valid = jnp.any(tmask, axis=2)
+
+    g_count = (nq + _Q_TILE - 1) // _Q_TILE
+    nq_pad = g_count * _Q_TILE
+    qpad = jax.vmap(lambda q: _pad_rows(q, _Q_TILE, PAD_COORD))(queries)
+    sel = _group_tile_selection(
+        qpad.reshape(b, g_count, _Q_TILE, 3), tmin, tmax, tctr, tile_valid,
+        m_tiles,
+    )  # [B, G, M]
+
+    # Stack clouds: tile ids offset by the cloud's tile base.
+    boff = (jnp.arange(b, dtype=jnp.int32) * n_tiles)[:, None, None]
+    supa = jax.vmap(
+        lambda s, m: pack_supports_tile_major(s, m, tile)
+    )(sup, smask).reshape(b * n_tiles, 8, tile)
+    d2 = tiled_candidate_distances(
+        qpad.reshape(b * nq_pad, 3), supa, (sel + boff).reshape(b * g_count, -1),
+        tile=tile, interpret=interpret,
+    )  # [B·Nq_pad, M·tile]
+
+    d2k, lidx = _smallest_k(d2, k, exact=exact)  # [B·Nq_pad, k]
+    d2k = d2k.reshape(b, nq_pad, k)
+    lidx = lidx.reshape(b, g_count, _Q_TILE, k)
+
+    # Tile-local -> global without a table gather (see one_group above).
+    m_of = lidx // tile
+    tile_base = jnp.zeros_like(lidx)
+    for m in range(m_tiles):
+        tile_base = tile_base + jnp.where(
+            m_of == m, sel[:, :, m][:, :, None, None] * tile, 0
+        )
+    gidx = (tile_base + lidx % tile).reshape(b, nq_pad, k)
+    lidx = lidx.reshape(b, nq_pad, k)
+
+    r2 = jnp.float32(radius) ** 2
+    in_r = d2k <= r2
+    idx = jnp.where(in_r, gidx, ns).astype(jnp.int32)[:, :nq]
+    if not return_local:
+        return idx
+    lidx = jnp.where(in_r, lidx, m_tiles * tile).astype(jnp.int32)
+    return idx, lidx, sel
+
+
 def min_dist_sq_tiled(
     queries: jnp.ndarray,
     supports: jnp.ndarray,

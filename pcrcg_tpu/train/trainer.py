@@ -154,9 +154,16 @@ class Trainer:
             if (
                 not self.use_shard_map
                 and jax.default_backend() == "tpu"
-                and self.cfg.kpconv_tiled
+                and (self.cfg.kpconv_tiled or self.cfg.budgets.search_kernel)
             ):
-                self.cfg = self.cfg.replace(kpconv_tiled=False)
+                import dataclasses
+
+                self.cfg = self.cfg.replace(
+                    kpconv_tiled=False,
+                    budgets=dataclasses.replace(
+                        self.cfg.budgets, search_kernel=False
+                    ),
+                )
         self.ckpt = CheckpointManager(os.path.join(cfg.exp_dir, "checkpoints"))
         self.start_epoch = 0
         if cfg.pretrain and cfg.pretrain.endswith((".pth", ".pt", ".tar")):

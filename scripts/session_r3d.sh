@@ -23,16 +23,10 @@ run() {
   fi
   sleep 30
 }
-# Geometry baseline for this session (same code path as r3c's 11.172 —
-# cached compile, fast).
-run bench_geom 1800 python bench.py
+# Geometry with the new search-distance kernel (fresh compile).
+run bench_geom 2400 python bench.py
+# Images path: single-block first conv + search kernel (fresh compile).
+run bench_images 2400 env PCRCG_BENCH_IMAGES=1 python bench.py
 # Dispatch-gap amortization.
 run bench_geom_lax2 2400 env PCRCG_BENCH_LAXMAP=2 python bench.py
-# Per-level candidate budget (recall check follows in ab_m_tiles).
-run bench_geom_mt 2400 env PCRCG_BENCH_MTILES=12,8,6,6 python bench.py
-# Images path with the single-block first conv (the round-3 kernel fix).
-run bench_images 2400 env PCRCG_BENCH_IMAGES=1 python bench.py
-run bench_images_lax2 2400 env PCRCG_BENCH_IMAGES=1 PCRCG_BENCH_LAXMAP=2 python bench.py
-# Per-level recall for the m_tiles tuple vs the scalar default.
-run ab_m_tiles 2400 python scripts/ab_m_tiles.py 128:12 128:12,8,6,6
 echo "phase1 done ($(date +%H:%M:%S))" | tee -a "$out/session.log"

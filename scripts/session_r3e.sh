@@ -23,13 +23,13 @@ run() {
   fi
   sleep 30
 }
-run evidence_geom_45h 2400 python scripts/train_synthetic_register.py \
-  --steps 5000 --eval-every 500 --budget 13312 --optimizer Adam --lr 0.001 \
+run evidence_geom_45h 1800 python scripts/train_synthetic_register.py \
+  --steps 3000 --eval-every 250 --budget 13312 --optimizer Adam --lr 0.001 \
   --max-rot-deg 45 --resample-frac 0.85 \
   --n-eval 16 --pair-pool 128 \
   --out perf_runs/accuracy_evidence_45h_geom.jsonl
-run evidence_images_45h 5400 python scripts/train_synthetic_register.py \
-  --steps 5000 --eval-every 500 --budget 13312 --optimizer Adam --lr 0.001 \
+run evidence_images_45h 3600 python scripts/train_synthetic_register.py \
+  --steps 3000 --eval-every 250 --budget 13312 --optimizer Adam --lr 0.001 \
   --max-rot-deg 45 --resample-frac 0.85 \
   --n-eval 16 --pair-pool 128 --images \
   --out perf_runs/accuracy_evidence_45h_images.jsonl
