@@ -91,6 +91,15 @@ def main(batch_size: int = None):
                 cfg.budgets, query_chunk=int(os.environ["PCRCG_BENCH_QCHUNK"])
             )
         )
+    if "PCRCG_BENCH_SEARCH_KERNEL" in os.environ:
+        import dataclasses
+
+        cfg = cfg.replace(
+            budgets=dataclasses.replace(
+                cfg.budgets,
+                search_kernel=os.environ["PCRCG_BENCH_SEARCH_KERNEL"] == "1",
+            )
+        )
     if "PCRCG_BENCH_MTILES" in os.environ:
         import dataclasses
 

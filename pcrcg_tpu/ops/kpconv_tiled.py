@@ -82,6 +82,7 @@ def _build_kernel(
     wgt_ref,  # [K, H, T] f32
     acc_ref,  # [K, c_blk, T] f32
     hsum_ref,  # [H, T] f32 — per-neighbor channel sums across c blocks
+    outacc_ref,  # [d_tiles, T, d_blk] f32 — out acc across jc ([1,1,1] if c_tiles==1)
     sem,  # DMA semaphore
     *,
     kp_extent: float,
@@ -96,120 +97,127 @@ def _build_kernel(
     d_tiles: int,
     feat_limbs: int,
 ):
-    """Grid (g, jd, jc), c innermost: each step covers one (query group,
-    output block, channel block).  Every channel block carries the 8
-    coordinate header rows, so rel/influence are recomputed per step (a few
-    µs of VPU) instead of holding cross-step scratch; the out tile
-    accumulates over jc; nn/residual blocks are written on their FINAL
-    visit (their index maps ignore jd, and Pallas only keeps output blocks
-    resident across consecutive revisits)."""
+    """Grid (g, jc, jd), OUTPUT block innermost: each step covers one
+    (query group, channel block, output block).  The expensive per-channel-
+    block work — candidate DMA, one-hot E build/unpack, influence reduce —
+    depends only on (g, jc), so it runs under ``jd == 0`` and its results
+    persist in scratch across the jd steps (the per-visit E build is the
+    kernel's dominant VPU cost; with jc innermost it was repaid d_tiles
+    times).  The influence weights depend only on g and are computed once
+    at (jc==0, jd==0).  Because out blocks (index map (g, jd)) are now
+    revisited NON-consecutively across jc, cross-jc accumulation happens in
+    the ``outacc`` scratch and out is written on each block's final visit
+    (Pallas only keeps output blocks resident across consecutive
+    revisits)."""
     g = pl.program_id(0)
-    jd = pl.program_id(1)
-    jc = pl.program_id(2)
+    jc = pl.program_id(1)
+    jd = pl.program_id(2)
     cand = m_tiles * tile
-
-    # 1. DMA the candidate tiles for this channel block.  supa is stored
-    # TILE-MAJOR ([n_tiles, c_tiles, rows, tile]) so each tile is ONE
-    # contiguous HBM burst — slicing a row-major [rows, Ns] array at 128
-    # lanes would shatter every copy into `rows` 256-byte segments and
-    # strangle the DMA engine.
-    copies = []
-    for m in range(m_tiles):
-        t_id = tiles_ref[g, m]
-        cp = pltpu.make_async_copy(
-            supa_ref.at[t_id, jc],
-            canda_ref.at[:, pl.ds(m * tile, tile)],
-            sem,
-        )
-        cp.start()
-        copies.append(cp)
-    for cp in copies:
-        cp.wait()
-
-    # 2. Materialize neighbor rows via one-hot matmuls (the E matmul IS the
-    # gather: exactly one 1 per column).  Coords AND features ride the same
-    # bf16 hi/lo array: one dot per h, exact to ~2^-24 after recombination.
-    canda = canda_ref[:]  # [rows_pad, CAND] bf16 (junk pad rows at bottom)
     c_blk = nx_ref.shape[1]
     c4 = 8 + c_blk
 
     first_d = jd == 0
-
-    # hsum accumulates per-neighbor feature sums across the jc steps (from
-    # the f32 header row 4 gathered below) — zero it before the unpack loop.
-    @pl.when(jnp.logical_and(first_d, jc == 0))
-    def _():
-        hsum_ref[:] = jnp.zeros_like(hsum_ref)
-    # Process HB h-steps per matmul: one [rows, CAND] @ [CAND, HB*T] dot
-    # amortizes instruction overhead ~HB-fold vs per-h dots.
-    hb = 8
-    for h0 in range(0, h_count, hb):
-        hb_cur = min(hb, h_count - h0)
-        lblk = lidx_ref[0, h0 : h0 + hb_cur].reshape(hb_cur * _T)  # [HB*T]
-        # column j of E selects candidate lidx[h0 + j//T, j%T]
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (cand, hb_cur * _T), 0)
-        ef = (row_iota == lblk[None, :]).astype(jnp.bfloat16)
-        nxa = jax.lax.dot_general(
-            canda, ef, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [rows_pad, HB*T]
-        if feat_limbs == 2:
-            # Layout [hi(8+c) | lo(8+c) | limb3 header(8)]: features
-            # recombine hi+lo (~2^-16 relative), coords add the third limb.
-            full = nxa[:c4] + nxa[c4 : 2 * c4]
-            limb3 = nxa[2 * c4 : 2 * c4 + 8]
-            hdr = full[:8]
-            feats_rows = full[8:]
-        else:
-            # Layout [hi(8+c) | lo header(8) | limb3 header(8)]: features
-            # ride a SINGLE bf16 limb (~2^-9 relative — the same grade the
-            # final f32 W contraction already has, since Mosaic lowers f32
-            # dot_general to one bf16 MXU pass); coords stay 3-limb exact.
-            hdr = nxa[:8] + nxa[c4 : c4 + 8]
-            limb3 = nxa[c4 + 8 : c4 + 16]
-            feats_rows = nxa[8:c4]
-        for j in range(hb_cur):
-            h = h0 + j
-            sl = slice(j * _T, (j + 1) * _T)
-            rxyz_ref[0, h] = hdr[0, sl] + limb3[0, sl] - q3_ref[0]
-            rxyz_ref[1, h] = hdr[1, sl] + limb3[1, sl] - q3_ref[1]
-            rxyz_ref[2, h] = hdr[2, sl] + limb3[2, sl] - q3_ref[2]
-            nx_ref[h] = feats_rows[:, sl]
-
-            # Per-neighbor feature sums for the count heuristic come from
-            # the precomputed f32 header row 4 (~f32-exact with its third
-            # limb) — NOT from summing the bf16 feature rows, whose
-            # rounding flips the >0 test for near-zero sums.
-            @pl.when(first_d)
-            def _():
-                hsum_ref[h, :] += hdr[4, sl] + limb3[4, sl]
-
-    # 3. Standard fused KPConv math on the VMEM-resident rows.
-    _compute_wgt(
-        rxyz_ref[0], rxyz_ref[1], rxyz_ref[2], kp_ref, wgt_ref,
-        kp_extent=kp_extent, influence=influence,
-        aggregation=aggregation, k_count=k_count,
-    )
-
-    for k in range(k_count):
-        acc_ref[k] = jnp.zeros_like(acc_ref[0])
-
-    def h_step(h, _):
-        nxh = nx_ref[h]  # [c_blk, T]
-        for k in range(k_count):
-            acc_ref[k] += wgt_ref[k, h][None, :] * nxh
-        return 0
-
-    jax.lax.fori_loop(0, h_count, h_step, 0)
-
-    # nn/nx/rel outputs have jd-independent index maps, so their blocks are
-    # revisited once per d step; Pallas only keeps output blocks resident
-    # across CONSECUTIVE revisits, so each such block must be written on its
-    # FINAL visit (a non-writing later visit would flush stale VMEM over
-    # it).  hsum lives in scratch (persists across steps), so the count can
-    # be finalized on the last step even though it accumulated at jd == 0.
     last_d = jd == d_tiles - 1
 
+    @pl.when(first_d)
+    def _unpack():
+        # 1. DMA the candidate tiles for this channel block.  supa is
+        # stored TILE-MAJOR ([n_tiles, c_tiles, rows, tile]) so each tile
+        # is ONE contiguous HBM burst — slicing a row-major [rows, Ns]
+        # array at 128 lanes would shatter every copy into `rows` 256-byte
+        # segments and strangle the DMA engine.
+        copies = []
+        for m in range(m_tiles):
+            t_id = tiles_ref[g, m]
+            cp = pltpu.make_async_copy(
+                supa_ref.at[t_id, jc],
+                canda_ref.at[:, pl.ds(m * tile, tile)],
+                sem,
+            )
+            cp.start()
+            copies.append(cp)
+        for cp in copies:
+            cp.wait()
+
+        # 2. Materialize neighbor rows via one-hot matmuls (the E matmul IS
+        # the gather: exactly one 1 per column).  Coords AND features ride
+        # the same bf16 hi/lo array: one dot per h, exact to ~2^-24 after
+        # recombination.
+        canda = canda_ref[:]  # [rows_pad, CAND] bf16 (junk pad rows at bottom)
+
+        # hsum accumulates per-neighbor feature sums across the jc steps
+        # (from the f32 header row 4 gathered below) — zero it first.
+        @pl.when(jc == 0)
+        def _():
+            hsum_ref[:] = jnp.zeros_like(hsum_ref)
+        # Process HB h-steps per matmul: one [rows, CAND] @ [CAND, HB*T] dot
+        # amortizes instruction overhead ~HB-fold vs per-h dots.
+        hb = 8
+        for h0 in range(0, h_count, hb):
+            hb_cur = min(hb, h_count - h0)
+            lblk = lidx_ref[0, h0 : h0 + hb_cur].reshape(hb_cur * _T)  # [HB*T]
+            # column j of E selects candidate lidx[h0 + j//T, j%T]
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (cand, hb_cur * _T), 0)
+            ef = (row_iota == lblk[None, :]).astype(jnp.bfloat16)
+            nxa = jax.lax.dot_general(
+                canda, ef, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [rows_pad, HB*T]
+            if feat_limbs == 2:
+                # Layout [hi(8+c) | lo(8+c) | limb3 header(8)]: features
+                # recombine hi+lo (~2^-16 relative), coords add the third
+                # limb.
+                full = nxa[:c4] + nxa[c4 : 2 * c4]
+                limb3 = nxa[2 * c4 : 2 * c4 + 8]
+                hdr = full[:8]
+                feats_rows = full[8:]
+            else:
+                # Layout [hi(8+c) | lo header(8) | limb3 header(8)]:
+                # features ride a SINGLE bf16 limb (~2^-9 relative — the
+                # same grade as the Mosaic one-bf16-pass f32 W contraction
+                # that follows); coords stay 3-limb exact.
+                hdr = nxa[:8] + nxa[c4 : c4 + 8]
+                limb3 = nxa[c4 + 8 : c4 + 16]
+                feats_rows = nxa[8:c4]
+            for j in range(hb_cur):
+                h = h0 + j
+                sl = slice(j * _T, (j + 1) * _T)
+                rxyz_ref[0, h] = hdr[0, sl] + limb3[0, sl] - q3_ref[0]
+                rxyz_ref[1, h] = hdr[1, sl] + limb3[1, sl] - q3_ref[1]
+                rxyz_ref[2, h] = hdr[2, sl] + limb3[2, sl] - q3_ref[2]
+                nx_ref[h] = feats_rows[:, sl]
+
+                # Per-neighbor feature sums for the count heuristic come
+                # from the precomputed f32 header row 4 (~f32-exact with
+                # its third limb) — NOT from summing the bf16 feature
+                # rows, whose rounding flips the >0 test for near-zero
+                # sums.
+                hsum_ref[h, :] += hdr[4, sl] + limb3[4, sl]
+
+        # 3. Influence weights from the VMEM-resident rel planes — rel is
+        # identical across jc (every channel block carries the same
+        # coordinate header), so once per group suffices.
+        @pl.when(jc == 0)
+        def _():
+            _compute_wgt(
+                rxyz_ref[0], rxyz_ref[1], rxyz_ref[2], kp_ref, wgt_ref,
+                kp_extent=kp_extent, influence=influence,
+                aggregation=aggregation, k_count=k_count,
+            )
+
+        for k in range(k_count):
+            acc_ref[k] = jnp.zeros_like(acc_ref[0])
+
+        def h_step(h, _):
+            nxh = nx_ref[h]  # [c_blk, T]
+            for k in range(k_count):
+                acc_ref[k] += wgt_ref[k, h][None, :] * nxh
+            return 0
+
+        jax.lax.fori_loop(0, h_count, h_step, 0)
+
+    # nn is finalized on its block's FINAL visit; hsum lives in scratch so
+    # it is complete from (jc == c_tiles-1, jd == 0) onward.
     @pl.when(jnp.logical_and(last_d, jc == c_tiles - 1))
     def _():
         count = jnp.sum((hsum_ref[:] > 0.0).astype(jnp.float32), axis=0)
@@ -225,13 +233,21 @@ def _build_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(jc == 0)
-    def _():
+    if c_tiles == 1:
+        # Each out block is visited exactly once — write it directly.
         out_ref[:] = out.astype(out_ref.dtype)
+    else:
+        @pl.when(jc == 0)
+        def _():
+            outacc_ref[jd] = out
 
-    @pl.when(jc > 0)
-    def _():
-        out_ref[:] += out.astype(out_ref.dtype)
+        @pl.when(jnp.logical_and(jc > 0, jc < c_tiles - 1))
+        def _():
+            outacc_ref[jd] += out
+
+        @pl.when(jc == c_tiles - 1)
+        def _():
+            out_ref[:] = (outacc_ref[jd] + out).astype(out_ref.dtype)
 
     if save_residuals:
         # Same final-visit rule: the nx block for channel block jc is last
@@ -420,36 +436,36 @@ def kpconv_tiled(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(g_count, d_tiles, c_tiles),
+        grid=(g_count, c_tiles, d_tiles),
         in_specs=[
-            pl.BlockSpec((4, _T), lambda g, jd, jc, t: (0, g)),
-            pl.BlockSpec((1, h_count, _T), lambda g, jd, jc, t: (g, 0, 0)),
+            pl.BlockSpec((4, _T), lambda g, jc, jd, t: (0, g)),
+            pl.BlockSpec((1, h_count, _T), lambda g, jc, jd, t: (g, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((k_count, 3), lambda g, jd, jc, t: (0, 0)),
-            pl.BlockSpec((k_count, c_blk, d_blk), lambda g, jd, jc, t: (0, jc, jd)),
+            pl.BlockSpec((k_count, 3), lambda g, jc, jd, t: (0, 0)),
+            pl.BlockSpec((k_count, c_blk, d_blk), lambda g, jc, jd, t: (0, jc, jd)),
         ],
         out_specs=[
-            pl.BlockSpec((_T, d_blk), lambda g, jd, jc, t: (g, jd)),
-            pl.BlockSpec((_T, 1), lambda g, jd, jc, t: (g, 0)),
+            pl.BlockSpec((_T, d_blk), lambda g, jc, jd, t: (g, jd)),
+            pl.BlockSpec((_T, 1), lambda g, jc, jd, t: (g, 0)),
             pl.BlockSpec(
                 (res_shape[0], min(res_shape[1], c_blk), _T if save_residuals else 1),
-                (lambda g, jd, jc, t: (0, jc, g)) if save_residuals
-                else (lambda g, jd, jc, t: (0, 0, 0)),
+                (lambda g, jc, jd, t: (0, jc, g)) if save_residuals
+                else (lambda g, jc, jd, t: (0, 0, 0)),
             ),
             pl.BlockSpec(
                 (plane_shape[0], _T if save_residuals else 1),
-                (lambda g, jd, jc, t: (0, g)) if save_residuals
-                else (lambda g, jd, jc, t: (0, 0)),
+                (lambda g, jc, jd, t: (0, g)) if save_residuals
+                else (lambda g, jc, jd, t: (0, 0)),
             ),
             pl.BlockSpec(
                 (plane_shape[0], _T if save_residuals else 1),
-                (lambda g, jd, jc, t: (0, g)) if save_residuals
-                else (lambda g, jd, jc, t: (0, 0)),
+                (lambda g, jc, jd, t: (0, g)) if save_residuals
+                else (lambda g, jc, jd, t: (0, 0)),
             ),
             pl.BlockSpec(
                 (plane_shape[0], _T if save_residuals else 1),
-                (lambda g, jd, jc, t: (0, g)) if save_residuals
-                else (lambda g, jd, jc, t: (0, 0)),
+                (lambda g, jc, jd, t: (0, g)) if save_residuals
+                else (lambda g, jc, jd, t: (0, 0)),
             ),
         ],
         scratch_shapes=[
@@ -459,6 +475,11 @@ def kpconv_tiled(
             pltpu.VMEM((k_count, h_count, _T), jnp.float32),
             pltpu.VMEM((k_count, c_blk, _T), jnp.float32),
             pltpu.VMEM((h_count, _T), jnp.float32),
+            # Cross-jc out accumulator (only touched when c_tiles > 1).
+            pltpu.VMEM(
+                (d_tiles, _T, d_blk) if c_tiles > 1 else (1, 1, 1),
+                jnp.float32,
+            ),
             pltpu.SemaphoreType.DMA,
         ],
     )

@@ -71,3 +71,38 @@ def test_committed_evidence_trajectory():
     assert evals[0]["recall"] <= 0.25, "untrained model should not register"
     best = max(e["recall"] for e in evals)
     assert best >= 0.75, f"training never reached recall >= 0.75 (best {best})"
+
+
+def _best_recall(path):
+    events = [json.loads(line) for line in open(path)]
+    evals = [e for e in events if e.get("event") in ("eval", "final")]
+    assert evals, f"{path} has no eval records"
+    return max(e["recall"] for e in evals)
+
+
+def test_color_branch_helps_full_so3():
+    """PCR-CG's thesis (reference models/architectures.py:195-514): explicit
+    color must help registration.  The committed full-SO(3) runs train the
+    SAME pair pool geometry-only and color+geometry on the real chip
+    (scripts/session_r3c.sh); the color run must reach at least the
+    geometry run's best recall."""
+    geom = os.path.join(REPO, "perf_runs", "accuracy_evidence_so3_geom.jsonl")
+    images = os.path.join(REPO, "perf_runs", "accuracy_evidence_so3_images.jsonl")
+    if not (os.path.exists(geom) and os.path.exists(images)):
+        pytest.skip("no committed SO(3) evidence pair")
+    assert _best_recall(images) >= _best_recall(geom)
+
+
+def test_hardened_moderate_rotation_evidence():
+    """Hardened 45-degree evidence (VERDICT r2 item 3): 16 held-out pairs,
+    independently-resampled crops, pool spanning both assets scans — the
+    geometry run must reach protocol recall >= 0.9, and the color run must
+    reach at least the geometry run (scripts/session_r3e.sh)."""
+    geom = os.path.join(REPO, "perf_runs", "accuracy_evidence_45h_geom.jsonl")
+    images = os.path.join(REPO, "perf_runs", "accuracy_evidence_45h_images.jsonl")
+    if not os.path.exists(geom):
+        pytest.skip("no committed hardened 45-degree evidence")
+    best_geom = _best_recall(geom)
+    assert best_geom >= 0.9, f"hardened run below gate (best {best_geom})"
+    if os.path.exists(images):
+        assert _best_recall(images) >= min(best_geom, 0.9)
