@@ -171,7 +171,10 @@ def main(batch_size: int = None):
     # candidate-DMA kernels).  Device work stays linear in N; the per-call
     # dispatch/readback overhead (the wall - device gap) is paid once per
     # N pairs.
-    lax_n = int(os.environ.get("PCRCG_BENCH_LAXMAP", "1"))
+    # Default 2: same-session A/B on the real chip measured 17.629 pairs/s
+    # at N=2 vs 9.1-11.2 at N=1 (the per-dispatch host/tunnel overhead is
+    # ~60 ms on this runtime — bigger than the per-pair device time).
+    lax_n = int(os.environ.get("PCRCG_BENCH_LAXMAP", "2"))
     if batch_size > 1:
         batched = jax.jit(
             jax.vmap(register_pair_impl, in_axes=(None, None, 0, 0, 0, 0))
