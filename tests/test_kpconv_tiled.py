@@ -280,3 +280,21 @@ def test_max_pool_tiled_matches_xla(rng):
     # Tolerance matches the conv-grad test: the bf16 hi/lo limb path is
     # exact to ~2^-16 relative per contribution.
     np.testing.assert_allclose(np.asarray(df_got), np.asarray(df_ref), rtol=1e-3, atol=1e-4)
+
+
+def test_tiled_kernel_wide_c_single_d(rng):
+    """c_tiles = 2 with d_tiles = 1 (the C=256 -> D<=256 decoder-side
+    convs): after the (g, jc, jd) grid reorder the cross-jc accumulation
+    runs through the scratch accumulator even when each out block is
+    visited once per jc consecutively — forward must still match XLA."""
+    q, sup, feats, gidx, lidx, tiles, kp, w = _setup(rng, c=200, d=100)
+    extent = 0.08
+    want = kpconv(q, sup, gidx, feats, kp, w, extent)
+    out, nn = kpconv_tiled(
+        q, sup, feats, lidx, tiles, kp, w, extent, interpret=True, tile=32,
+    )
+    got = out / nn[:, None]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want),
+        rtol=1e-3, atol=1e-4 * max(float(np.abs(np.asarray(want)).max()), 1.0),
+    )
