@@ -93,16 +93,34 @@ def test_color_branch_helps_full_so3():
     assert _best_recall(images) >= _best_recall(geom)
 
 
-def test_hardened_moderate_rotation_evidence():
-    """Hardened 45-degree evidence (VERDICT r2 item 3): 16 held-out pairs,
-    independently-resampled crops, pool spanning both assets scans — the
-    geometry run must reach protocol recall >= 0.9, and the color run must
-    reach at least the geometry run (scripts/session_r3e.sh)."""
+def _has_final(path):
+    return any(
+        json.loads(line).get("event") == "final" for line in open(path)
+    )
+
+
+def test_hardened_color_vs_geometry_45deg():
+    """Hardened 45-degree pair (VERDICT r2 items 2+3): 16 held-out pairs,
+    independently-resampled crops, pool spanning both assets scans, SAME
+    3000-step schedule for both runs — the color run must reach at least
+    the geometry run's best recall (scripts/session_r3e.sh)."""
     geom = os.path.join(REPO, "perf_runs", "accuracy_evidence_45h_geom.jsonl")
     images = os.path.join(REPO, "perf_runs", "accuracy_evidence_45h_images.jsonl")
-    if not os.path.exists(geom):
-        pytest.skip("no committed hardened 45-degree evidence")
-    best_geom = _best_recall(geom)
-    assert best_geom >= 0.9, f"hardened run below gate (best {best_geom})"
-    if os.path.exists(images):
-        assert _best_recall(images) >= min(best_geom, 0.9)
+    if not (os.path.exists(geom) and os.path.exists(images)):
+        pytest.skip("no committed hardened 45-degree pair")
+    if not (_has_final(geom) and _has_final(images)):
+        pytest.skip("hardened 45-degree runs incomplete")
+    assert _best_recall(images) >= _best_recall(geom)
+
+
+def test_hardened_evidence_recall_gate():
+    """The long-schedule hardened geometry run must reach protocol recall
+    >= 0.9 (VERDICT r2 item 3 gate; scripts/session_r3h.sh — 9000 steps,
+    same hardening as the 3000-step pair)."""
+    path = os.path.join(
+        REPO, "perf_runs", "accuracy_evidence_45h_geom_long.jsonl"
+    )
+    if not os.path.exists(path) or not _has_final(path):
+        pytest.skip("no committed long-schedule hardened evidence")
+    best = _best_recall(path)
+    assert best >= 0.9, f"hardened long run below gate (best {best})"
