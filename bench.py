@@ -184,19 +184,36 @@ def main(batch_size: int = None):
         )
         args = (batch.points, batch.masks, batch.features)
     elif lax_n > 1:
+        # Each lane carries its OWN (points, masks, features, images) slice
+        # — with a shared closure-style cloud the body's pyramid+forward
+        # (and the whole ResNet50 2D branch in images mode) would be
+        # invariant in the mapped key and XLA's loop-invariant code motion
+        # could legally compute it ONCE for all N "pairs", which would
+        # inflate the metric.  Scanning over stacked per-lane inputs makes
+        # every lane's full pipeline provably executed (runtime-data slices
+        # cannot be CSE'd).
         @jax.jit
-        def register_lax(variables, images, points, masks, features, keys):
-            def body(k):
-                T, fit = register_pair_impl(
-                    variables, images, points, masks, features, k
-                )
-                return T, fit
-            return jax.lax.map(body, keys)
+        def register_lax(variables, lane_xs):
+            def body(xs):
+                p, m, f, k, imgs = xs
+                return register_pair_impl(variables, imgs, p, m, f, k)
 
-        register = lambda p, m, f, k: register_lax(
-            variables, images, p, m, f, jax.random.split(k, lax_n)
+            return jax.lax.map(body, lane_xs)
+
+        def _stack(x):
+            return jnp.asarray(np.broadcast_to(np.asarray(x), (lax_n,) + x.shape))
+
+        images_stacked = (
+            {k: _stack(v) for k, v in images.items()} if image_feature else None
         )
-        args = (batch.points[0], batch.masks[0], batch.features[0])
+        register = lambda p, m, f, k: register_lax(
+            variables, (p, m, f, jax.random.split(k, lax_n), images_stacked)
+        )
+        args = (
+            _stack(batch.points[0]),
+            _stack(batch.masks[0]),
+            _stack(batch.features[0]),
+        )
     else:
         register = register_pair
         args = (batch.points[0], batch.masks[0], batch.features[0])
