@@ -20,19 +20,9 @@ import numpy as np
 
 
 def load_assets_pair():
-    path_src = "/root/reference/assets/cloud_bin_21.pth"
-    path_tgt = "/root/reference/assets/cloud_bin_34.pth"
-    if os.path.exists(path_src):
-        import torch
+    from pcrcg_tpu.assets import demo_cloud_pair
 
-        src = np.asarray(torch.load(path_src, weights_only=False), dtype=np.float32)
-        tgt = np.asarray(torch.load(path_tgt, weights_only=False), dtype=np.float32)
-        return src, tgt
-    rng = np.random.default_rng(0)
-    return (
-        rng.uniform(0, 3, size=(25337, 3)).astype(np.float32),
-        rng.uniform(0, 3, size=(14602, 3)).astype(np.float32),
-    )
+    return demo_cloud_pair()
 
 
 def synthetic_images(img_num: int, seed: int = 0, height: int = 240, width: int = 320):
@@ -170,11 +160,15 @@ def main(batch_size: int = None):
     # — scalar-prefetch Pallas grids don't vmap, and lax.map keeps the
     # candidate-DMA kernels).  Device work stays linear in N; the per-call
     # dispatch/readback overhead (the wall - device gap) is paid once per
-    # N pairs.
-    # Default 2: same-session A/B on the real chip measured 17.629 pairs/s
-    # at N=2 vs 9.1-11.2 at N=1 (the per-dispatch host/tunnel overhead is
-    # ~60 ms on this runtime — bigger than the per-pair device time).
+    # N pairs.  Each lane gets its own stacked input slice so XLA cannot
+    # hoist the forward out of the loop (an earlier shared-cloud variant
+    # inflated the metric via loop-invariant code motion; its 17.6 number
+    # was invalid — see PERF.md "Round-3 continuation").
     lax_n = int(os.environ.get("PCRCG_BENCH_LAXMAP", "2"))
+    if batch_size > 1:
+        # The vmap branch executes batch_size pairs per call and ignores
+        # lax_n — force it to 1 so the metric counts what actually ran.
+        lax_n = 1
     if batch_size > 1:
         batched = jax.jit(
             jax.vmap(register_pair_impl, in_axes=(None, None, 0, 0, 0, 0))

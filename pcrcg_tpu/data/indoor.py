@@ -40,7 +40,13 @@ def euler_zyx_matrix(angles: np.ndarray) -> np.ndarray:
 
 
 def load_fragment(path: str) -> np.ndarray:
-    """Fragment .pth files are torch-saved float32 [n,3] arrays."""
+    """Fragment files are float32 [n,3] arrays: .npy natively, or the
+    reference's torch-saved .pth (reference datasets/indoor.py:142)."""
+    if path.endswith(".npy") or path.endswith(".npz"):
+        arr = np.load(path)
+        if hasattr(arr, "files"):  # npz archive: first entry
+            arr = arr[arr.files[0]]
+        return np.asarray(arr, dtype=np.float32)
     import torch
 
     return np.asarray(torch.load(path, weights_only=False), dtype=np.float32)

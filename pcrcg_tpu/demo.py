@@ -20,8 +20,8 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default="")
-    parser.add_argument("--src", default="/root/reference/assets/cloud_bin_21.pth")
-    parser.add_argument("--tgt", default="/root/reference/assets/cloud_bin_34.pth")
+    parser.add_argument("--src", default="", help="point-cloud file (.npy/.pth); default: vendored demo pair")
+    parser.add_argument("--tgt", default="")
     parser.add_argument("--n_points", type=int, default=1000)
     parser.add_argument("--checkpoint", default="")
     parser.add_argument(
@@ -67,8 +67,13 @@ def main(argv=None):
                 query_chunk=min(b.query_chunk, 256),
             )
         )
-    src = load_fragment(args.src if args.src else cfg.src_pcd)
-    tgt = load_fragment(args.tgt if args.tgt else cfg.tgt_pcd)
+    if args.src or cfg.src_pcd:
+        src = load_fragment(args.src if args.src else cfg.src_pcd)
+        tgt = load_fragment(args.tgt if args.tgt else cfg.tgt_pcd)
+    else:
+        from pcrcg_tpu.assets import demo_cloud_pair
+
+        src, tgt = demo_cloud_pair()
     print(f"src {src.shape} tgt {tgt.shape}", flush=True)
 
     model, variables = init_model(cfg)

@@ -21,6 +21,21 @@ SHORT_NAMES = [
     "Kitchen", "Home 1", "Home 2", "Hotel 1", "Hotel 2", "Hotel 3", "Study", "MIT Lab",
 ]
 
+# Canonical 3DMatch/3DLoMatch benchmark scene directories -> display names
+# (reference lib/benchmark.py:280 walks the gt folder; the 8-scene short
+# names are the paper's table labels).  Non-canonical gt folders keep
+# their directory name so per_scene keys always identify the right scene.
+CANONICAL_NAMES = {
+    "7-scenes-redkitchen": "Kitchen",
+    "sun3d-home_at-home_at_scan1_2013_jan_1": "Home 1",
+    "sun3d-home_md-home_md_scan9_2012_sep_30": "Home 2",
+    "sun3d-hotel_uc-scan3": "Hotel 1",
+    "sun3d-hotel_umd-maryland_hotel1": "Hotel 2",
+    "sun3d-hotel_umd-maryland_hotel3": "Hotel 3",
+    "sun3d-mit_76_studyroom-76-1studyroom2": "Study",
+    "sun3d-mit_lab_hj-lab_hj_tea_nov_2_2012_scan1_erika": "MIT Lab",
+}
+
 
 def mat2quat(r: np.ndarray) -> np.ndarray:
     """Rotation matrix -> unit quaternion (w,x,y,z); branch-free accumulation
@@ -186,7 +201,7 @@ def benchmark(est_folder: str, gt_folder: str) -> BenchmarkResult:
     precisions, recalls, n_valids = [], [], []
     med_rre, med_rte = [], []
 
-    for idx, scene in enumerate(scenes):
+    for scene in scenes:
         gt_pairs, gt_traj = read_trajectory(os.path.join(gt_folder, scene, "gt.log"))
         n_valid = sum(abs(int(p[0]) - int(p[1])) > 1 for p in gt_pairs)
         n_fragments, gt_cov = read_trajectory_info(os.path.join(gt_folder, scene, "gt.info"))
@@ -207,7 +222,7 @@ def benchmark(est_folder: str, gt_folder: str) -> BenchmarkResult:
             rre = rotation_error_deg(est_sel[:, :3, :3], gt_sel[:, :3, :3])
             rte = np.linalg.norm(est_sel[:, :3, 3] - gt_sel[:, :3, 3], axis=-1)
 
-        name = SHORT_NAMES[idx] if idx < len(SHORT_NAMES) else scene
+        name = CANONICAL_NAMES.get(scene, scene)
         out.per_scene[name] = dict(
             precision=prec,
             recall=rec,

@@ -66,9 +66,9 @@ def main(argv=None):
         if cfg.dataset == "indoor":
             from pcrcg_tpu.eval.tester import IndoorTester
 
-            gt_folder = os.path.join("configs", "benchmarks", cfg.benchmark)
-            if not os.path.isdir(gt_folder):
-                gt_folder = os.path.join("/root/reference/configs/benchmarks", cfg.benchmark)
+            from pcrcg_tpu.assets import benchmark_gt_root
+
+            gt_folder = benchmark_gt_root(cfg.benchmark)
             tester = IndoorTester(cfg, trainer.model, trainer.state.variables(), gt_folder)
             ds = datasets["test"]
             loader = PairLoader(ds, cfg.budgets.points[0], batch_size=1, num_threads=cfg.num_workers)

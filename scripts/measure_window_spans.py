@@ -19,11 +19,9 @@ from pcrcg_tpu import native  # noqa: E402
 
 
 def load_pair():
-    import torch
+    from pcrcg_tpu.assets import demo_cloud_pair
 
-    a = torch.load("/root/reference/assets/cloud_bin_21.pth", weights_only=False)
-    b = torch.load("/root/reference/assets/cloud_bin_34.pth", weights_only=False)
-    return np.asarray(a, np.float32), np.asarray(b, np.float32)
+    return demo_cloud_pair()
 
 
 def voxel_ijk(points: np.ndarray, dl: float) -> np.ndarray:

@@ -45,9 +45,9 @@ def main():
 
     info = os.path.join(os.path.dirname(cfg.val_info or "configs/indoor"), f"{cfg.benchmark}.pkl")
     dataset = IndoorDataset(info, cfg, data_augmentation=False)
-    gt_folder = os.path.join("configs", "benchmarks", cfg.benchmark)
-    if not os.path.isdir(gt_folder):
-        gt_folder = os.path.join("/root/reference/configs/benchmarks", cfg.benchmark)
+    from pcrcg_tpu.assets import benchmark_gt_root
+
+    gt_folder = benchmark_gt_root(cfg.benchmark)
     tester = IndoorTester(cfg, model, variables, gt_folder)
 
     for n in args.n_points:

@@ -126,19 +126,11 @@ def _eval_pair_overlaps(start):
     deterministic."""
     if "eval_overlap" in start:
         return start["eval_overlap"]
-    import torch
     from scipy.spatial import cKDTree
 
-    paths = [
-        "/root/reference/assets/cloud_bin_21.pth",
-        "/root/reference/assets/cloud_bin_34.pth",
-    ]
-    if not all(os.path.exists(p) for p in paths):
-        pytest.skip("assets clouds unavailable to reconstruct eval overlaps")
-    clouds = [
-        np.asarray(torch.load(p, weights_only=False), dtype=np.float32)
-        for p in paths
-    ]
+    from pcrcg_tpu.assets import demo_cloud_pair
+
+    clouds = list(demo_cloud_pair())  # vendored in-repo; always available
     overlaps = []
     for i in range(start["n_eval"]):
         r = np.random.default_rng(12345 + 1000 * i)

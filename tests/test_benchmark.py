@@ -15,7 +15,9 @@ from pcrcg_tpu.eval.benchmark_3dmatch import (
     write_trajectory,
 )
 
-GT_ROOT = "/root/reference/configs/benchmarks/3DMatch"
+from pcrcg_tpu.assets import benchmark_gt_root
+
+GT_ROOT = benchmark_gt_root("3DMatch")
 pytestmark = pytest.mark.skipif(not os.path.isdir(GT_ROOT), reason="gt files unavailable")
 
 
