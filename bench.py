@@ -90,6 +90,14 @@ def main(batch_size: int = None):
                 search_kernel=os.environ["PCRCG_BENCH_SEARCH_KERNEL"] == "1",
             )
         )
+    if "PCRCG_BENCH_STILE" in os.environ:
+        import dataclasses
+
+        cfg = cfg.replace(
+            budgets=dataclasses.replace(
+                cfg.budgets, search_tile=int(os.environ["PCRCG_BENCH_STILE"])
+            )
+        )
     if "PCRCG_BENCH_MTILES" in os.environ:
         import dataclasses
 

@@ -83,14 +83,27 @@ def _best_recall(path):
 def test_color_branch_helps_full_so3():
     """PCR-CG's thesis (reference models/architectures.py:195-514): explicit
     color must help registration.  The committed full-SO(3) runs train the
-    SAME pair pool geometry-only and color+geometry on the real chip
-    (scripts/session_r3c.sh); the color run must reach at least the
-    geometry run's best recall."""
-    geom = os.path.join(REPO, "perf_runs", "accuracy_evidence_so3_geom.jsonl")
-    images = os.path.join(REPO, "perf_runs", "accuracy_evidence_so3_images.jsonl")
+    SAME pair pool geometry-only and color+geometry on the real chip; the
+    color run must reach at least the geometry run's best recall AND clear
+    an absolute floor — a low-recall tie (r3's 0.25/0.25) must FAIL
+    (VERDICT r3: the gate was vacuous).  Prefers the rotation-curriculum
+    pair (session_r4d) over the r3 no-curriculum pair."""
+    cur_geom = os.path.join(REPO, "perf_runs", "accuracy_evidence_so3c_geom.jsonl")
+    cur_images = os.path.join(REPO, "perf_runs", "accuracy_evidence_so3c_images.jsonl")
+    if os.path.exists(cur_geom) and os.path.exists(cur_images):
+        geom, images = cur_geom, cur_images
+    else:
+        geom = os.path.join(REPO, "perf_runs", "accuracy_evidence_so3_geom.jsonl")
+        images = os.path.join(REPO, "perf_runs", "accuracy_evidence_so3_images.jsonl")
     if not (os.path.exists(geom) and os.path.exists(images)):
         pytest.skip("no committed SO(3) evidence pair")
-    assert _best_recall(images) >= _best_recall(geom)
+    best_images, best_geom = _best_recall(images), _best_recall(geom)
+    assert best_images >= best_geom
+    # Absolute floor: >= 3/8 of the 16 held-out pairs registered — a tie
+    # both arms reach by luck (2-4/16) carries no evidence about color.
+    assert best_images >= 0.375, (
+        f"color best recall {best_images} under the 0.375 evidence floor"
+    )
 
 
 def _has_final(path):
@@ -100,14 +113,15 @@ def _has_final(path):
 
 
 def test_hardened_color_vs_geometry_45deg():
-    """Hardened 45-degree pair (VERDICT r2 items 2+3): 16 held-out pairs,
-    independently-resampled crops, pool spanning both assets scans — on
-    the LONG schedule (scripts/session_r3h.sh) the color run must reach at
-    least the geometry run's 3000-step recall.  (At the short 3000-step
+    """Hardened 45-degree pair (VERDICT r2 items 2+3, r3 item 2): 16
+    held-out pairs, independently-resampled crops, pool spanning both
+    assets scans — on the EQUAL 9000-step schedule the color run must
+    reach at least the geometry run's best recall and clear the same
+    0.375 evidence floor as the SO(3) gate.  (At the short 3000-step
     schedule the color run is still climbing at cutoff — its 129-dim
     input has far more first-layer weights to fit — so the short pair,
     also committed, documents the schedule effect rather than gating it.)"""
-    geom = os.path.join(REPO, "perf_runs", "accuracy_evidence_45h_geom.jsonl")
+    geom = os.path.join(REPO, "perf_runs", "accuracy_evidence_45h_geom_long.jsonl")
     images = os.path.join(
         REPO, "perf_runs", "accuracy_evidence_45h_images_long.jsonl"
     )
@@ -115,7 +129,31 @@ def test_hardened_color_vs_geometry_45deg():
         pytest.skip("no committed hardened 45-degree long color run")
     if not (_has_final(geom) and _has_final(images)):
         pytest.skip("hardened 45-degree runs incomplete")
-    assert _best_recall(images) >= _best_recall(geom)
+    best_images, best_geom = _best_recall(images), _best_recall(geom)
+    assert best_images >= best_geom
+    assert best_images >= 0.375
+
+
+def test_approx_search_stack_matches_exact_end_to_end():
+    """Bound the approximation stack end-to-end (VERDICT r3 item 8): the
+    SAME trained weights (hardened 45-degree long-schedule geometry run)
+    evaluated under the default approx search (tile-pruned candidates +
+    approx top-k) and under search_exact + full tiles — the reference's
+    exact sorted neighbor lists (cpp_neighbors/neighbors.cpp:266).  The
+    32-pair recall delta must be within 2 quanta (2/32 = 0.0625)."""
+    approx = os.path.join(
+        REPO, "perf_runs", "accuracy_evidence_45h_geom_approx_eval.jsonl"
+    )
+    exact = os.path.join(
+        REPO, "perf_runs", "accuracy_evidence_45h_geom_exact_eval.jsonl"
+    )
+    if not (os.path.exists(approx) and os.path.exists(exact)):
+        pytest.skip("no committed same-weights search-stack eval pair")
+    ra, re = _best_recall(approx), _best_recall(exact)
+    assert abs(ra - re) <= 0.0625 + 1e-9, (
+        f"approx recall {ra} vs exact {re}: approximation stack shifts "
+        "end-to-end registration beyond the 2/32 tolerance"
+    )
 
 
 def _eval_pair_overlaps(start):

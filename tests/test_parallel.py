@@ -108,6 +108,64 @@ def test_shard_map_train_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_data_parallel_color_flagship_train_step():
+    """The FLAGSHIP color+geometry model (PCRCG = ResNet50-UNet lift +
+    KPFCNN) through the shard_map dp path: per-pair image stacks shard on
+    'data' (parallel/mesh.py shard_images) next to the clouds, and the dp
+    loss matches the single-device train_step on the same batch."""
+    import sys
+
+    from pcrcg_tpu.models.pcrcg import PCRCG
+    from pcrcg_tpu.parallel.mesh import shard_images
+    from pcrcg_tpu.train.step import train_step_dp
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from bench import synthetic_images
+
+    cfg = tiny_test_config(image_feature=True, in_feats_dim=129, img_num=1)
+    rng = np.random.default_rng(21)
+    samples = []
+    for _ in range(8):
+        base = rng.uniform(0, 0.5, size=(200, 3)).astype(np.float32)
+        samples.append(
+            dict(src_pcd=base, tgt_pcd=base[10:190], rot=np.eye(3), trans=np.zeros(3))
+        )
+    batch = make_pair_batch(samples, cfg.budgets.points[0])
+    one_pair = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_images(cfg.img_num, height=64, width=96).items()
+    }
+    images = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (8,) + x.shape), one_pair
+    )
+
+    model = PCRCG(cfg)
+    pyr = build_pyramid(
+        batch.points[0], batch.masks[0], cfg.budgets,
+        cfg.first_subsampling_dl, cfg.conv_radius,
+    )
+    variables = model.init(jax.random.key(0), pyr, batch.features[0], one_pair)
+    state = create_train_state(cfg, variables)
+
+    mesh = make_mesh(8)
+    sharded = shard_pair_batch(batch, mesh)
+    images_sharded = shard_images(images, mesh, 8)
+    state_r = state.replace(
+        params=replicate(state.params, mesh),
+        constants=replicate(state.constants, mesh),
+        opt_state=replicate(state.opt_state, mesh),
+        step=replicate(state.step, mesh),
+    )
+    _, stats = train_step_dp(
+        model, cfg, state_r, sharded, jax.random.key(1), mesh, images=images_sharded
+    )
+    assert np.isfinite(float(stats["total"]))
+
+    _, stats_1 = train_step(model, cfg, state, batch, jax.random.key(1), images)
+    np.testing.assert_allclose(float(stats["total"]), float(stats_1["total"]), rtol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_data_model_parallel_train_step():
     """4-way data x 2-way cloud ('model') sharding must run and match the
     single-device result."""
