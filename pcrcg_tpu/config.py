@@ -154,6 +154,10 @@ class Config:
     tdmatch_pth_path: str = ""
     image_net_pth_path: str = ""
     window_size: int = 5
+    # Ship uint8 colors / uint16 mm depths to the device (ImageLift
+    # converts on-chip) — ~4x smaller per-pair image payloads, important
+    # on tunneled/remote runtimes where arg staging is on the step path.
+    image_quantized: bool = False
     overlap_threshold: float = 0.5
     node_overlap: bool = False
     quaternion: bool = False

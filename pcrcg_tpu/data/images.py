@@ -32,15 +32,23 @@ INTRINSIC_IMAGE_DIM = (640, 480)  # (w, h)
 PROJECTION_DIM = (160, 120)
 
 
-def load_color(path: str) -> np.ndarray:
+def load_color(path: str, quantized: bool = False) -> np.ndarray:
     img = Image.open(path).convert("RGB")
     img = img.resize((COLOR_SIZE[1], COLOR_SIZE[0]), Image.NEAREST)
+    if quantized:
+        # Native 8-bit — ImageLift divides by 255 on device (exact, and
+        # the host->device payload shrinks 4x on tunneled runtimes).
+        return np.asarray(img, np.uint8)  # [h,w,3]
     return np.asarray(img, np.float32) / 255.0  # [h,w,3] in [0,1]
 
 
-def load_depth(path: str) -> np.ndarray:
+def load_depth(path: str, quantized: bool = False) -> np.ndarray:
     img = Image.open(path)
     img = img.resize((DEPTH_SIZE[1], DEPTH_SIZE[0]), Image.NEAREST)
+    if quantized:
+        # Native millimeter uint16 (reference indoor.py divides by 1000);
+        # ImageLift converts to meters on device — bit-exact round trip.
+        return np.asarray(img, np.uint16)
     return np.asarray(img, np.float32) / 1000.0  # meters
 
 
@@ -96,12 +104,16 @@ def projection_intrinsics(img_root: str, scene: str) -> np.ndarray:
 class ImagePairLoader:
     """Loads the per-pair image stacks consumed by models.lift.ImageLift."""
 
-    def __init__(self, img_root: str, matches_root: str, img_num: int = 2, window_size: int = 5):
+    def __init__(self, img_root: str, matches_root: str, img_num: int = 2,
+                 window_size: int = 5, quantized: bool = False):
         assert img_num in (1, 2, 3)
         self.img_root = img_root
         self.matches_root = matches_root
         self.img_num = img_num
         self.window_size = window_size
+        # quantized: emit uint8 colors / uint16 mm depths (ImageLift
+        # converts on device) — 4x smaller host->device payloads.
+        self.quantized = quantized
 
     def frame_ids(self, ids) -> list:
         """Select img_num frame ids out of (id1, id2) — 1: first; 2: both;
@@ -121,8 +133,8 @@ class ImagePairLoader:
         colors, depths, poses = [], [], []
         for fid in frames:
             cpath, dpath, ppath = frame_paths(self.img_root, scene, seq, fid)
-            colors.append(load_color(cpath))
-            depths.append(load_depth(dpath))
+            colors.append(load_color(cpath, self.quantized))
+            depths.append(load_depth(dpath, self.quantized))
             poses.append(np.loadtxt(ppath).astype(np.float64))
         w2c1 = np.eye(4)
         if augment_this_cloud:

@@ -84,6 +84,7 @@ class IndoorDataset:
                 config.superglue_matches_path,
                 config.img_num,
                 config.window_size,
+                quantized=getattr(config, "image_quantized", False),
             )
 
     def __len__(self) -> int:

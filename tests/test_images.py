@@ -211,6 +211,44 @@ def test_splat_valid_maps_hand_computed():
     assert e0[8, 7] == 0.0
 
 
+def test_quantized_image_lift_matches_float():
+    """uint8 colors / uint16 mm depths through ImageLift must produce
+    BIT-identical features to the float path derived from the same raw
+    values (the on-device /255 and /1000 mirror the loader's math)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcrcg_tpu.models.lift import ImageLift
+
+    rng = np.random.default_rng(5)
+    n, h, w = 64, 32, 48
+    h2, w2 = h // 2, w // 2
+    colors_u8 = rng.integers(0, 256, (2, 1, h, w, 3), dtype=np.uint8)
+    depths_u16 = rng.integers(500, 3000, (2, 1, h2, w2), dtype=np.uint16)
+    colors_f = colors_u8.astype(np.float32) / 255.0
+    depths_f = depths_u16.astype(np.float32) / 1000.0
+    points = rng.uniform(-1, 1, (2, n, 3)).astype(np.float32)
+    masks = np.ones((2, n), bool)
+    w2c = np.broadcast_to(np.eye(4, dtype=np.float32), (2, 1, 4, 4)).copy()
+    valid = np.ones((2, 1, h2, w2), np.float32)
+    intr = np.array(
+        [[20.0, 0, w2 / 2, 0], [0, 20.0, h2 / 2, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+        np.float32,
+    )
+    lift = ImageLift(output_channel=8, depth=50)
+    variables = jax.jit(lift.init)(
+        jax.random.key(0), points, masks, jnp.asarray(colors_f),
+        jnp.asarray(depths_f), jnp.asarray(w2c), jnp.asarray(valid),
+        jnp.asarray(intr),
+    )
+    apply = jax.jit(lift.apply)
+    out_f = apply(variables, points, masks, jnp.asarray(colors_f),
+                  jnp.asarray(depths_f), w2c, valid, intr)
+    out_q = apply(variables, points, masks, jnp.asarray(colors_u8),
+                  jnp.asarray(depths_u16), w2c, valid, intr)
+    np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_q))
+
+
 def test_world2cam_composition(fixture):
     """w2c₁ = inv(aug_rot) on the augmented cloud (else I); w2c₂ =
     pose₂⁻¹ · pose₁ · w2c₁ (reference indoor.py:569-597)."""
