@@ -202,13 +202,16 @@ def main(batch_size: int = None):
 
     # PCRCG_BENCH_LAXMAP=N: run N pairs per dispatch via lax.map (NOT vmap
     # — scalar-prefetch Pallas grids don't vmap, and lax.map keeps the
-    # candidate-DMA kernels).  Device work stays linear in N; the per-call
-    # dispatch/readback overhead (the wall - device gap) is paid once per
-    # N pairs.  Each lane gets its own stacked input slice so XLA cannot
-    # hoist the forward out of the loop (an earlier shared-cloud variant
-    # inflated the metric via loop-invariant code motion; its 17.6 number
-    # was invalid — see PERF.md "Round-3 continuation").
-    lax_n = int(os.environ.get("PCRCG_BENCH_LAXMAP", "2"))
+    # candidate-DMA kernels).  Each lane gets its own stacked input slice
+    # so XLA cannot hoist the forward out of the loop (an earlier
+    # shared-cloud variant inflated the metric via loop-invariant code
+    # motion; its 17.6 number was invalid — see PERF.md "Round-3
+    # continuation").  Default 1: with the dispatch path fixed at the root
+    # (packed args + no per-call eager ops), the round-4 sweep measured
+    # N=1 12.92 / N=4 12.68 geometry and N=1 9.92 / N=2 9.78 images
+    # (perf_runs/session_r4f) — the wall is device-bound and lax.map adds
+    # per-lane loop overhead, so lanes no longer buy anything.
+    lax_n = int(os.environ.get("PCRCG_BENCH_LAXMAP", "1"))
     if batch_size > 1:
         # The vmap branch executes batch_size pairs per call and ignores
         # lax_n — force it to 1 so the metric counts what actually ran.
