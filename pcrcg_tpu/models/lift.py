@@ -55,10 +55,27 @@ class ImageLift(nn.Module):
         # uint16 depths in millimeters (the source format,
         # reference indoor.py:239 divides by 1000), uint8 valid maps.
         # Cuts the per-pair image payload ~4x vs all-f32.
+        # Dequantization must be BIT-identical to the loader's numpy
+        # division (x.astype(f32)/255 etc.): XLA lowers division by a
+        # constant to multiply-by-reciprocal, which is 1 ulp off for
+        # about half of all inputs — and a deep backbone chaotically
+        # amplifies a 1-ulp input difference into O(1) feature changes.
+        # The two-constant form x*c_hi + x*c_lo (c_hi = f32(1/d),
+        # c_lo = f32(1/d - c_hi)) reproduces the correctly-rounded
+        # quotient EXHAUSTIVELY for all uint8 (d=255) and uint16 (d=1000)
+        # values (verified against numpy on the CPU backend).
+        def _exact_div(x, denom):
+            import numpy as np
+
+            c_hi = np.float32(1.0 / denom)
+            c_lo = np.float32(1.0 / denom - np.float64(c_hi))
+            xf = x.astype(jnp.float32)
+            return xf * c_hi + xf * c_lo
+
         if colors.dtype == jnp.uint8:
-            colors = colors.astype(jnp.float32) / 255.0
+            colors = _exact_div(colors, 255.0)
         if depths.dtype == jnp.uint16:
-            depths = depths.astype(jnp.float32) / 1000.0
+            depths = _exact_div(depths, 1000.0)
         if valid_maps.dtype != jnp.float32:
             valid_maps = valid_maps.astype(jnp.float32)
         backbone = ResUNet(
