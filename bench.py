@@ -113,6 +113,18 @@ def main(batch_size: int = None):
         cfg = cfg.replace(
             budgets=dataclasses.replace(cfg.budgets, search_m_tiles=mt)
         )
+    if "PCRCG_BENCH_RECALL" in os.environ:
+        # approx_min_k recall target for the within-candidates top-k —
+        # shrinks the [N, m_tiles*128/2] sort widths that dominate the
+        # pyramid device time (PERF.md round-5 trace).
+        import dataclasses
+
+        cfg = cfg.replace(
+            budgets=dataclasses.replace(
+                cfg.budgets,
+                search_recall_target=float(os.environ["PCRCG_BENCH_RECALL"]),
+            )
+        )
     if image_feature:
         cfg = cfg.replace(
             image_feature=True,

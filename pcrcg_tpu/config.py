@@ -96,6 +96,14 @@ class Budgets:
     # Exact per-row top-k inside the tiled search (affordable on the pruned
     # ~3k-candidate sets) instead of approx_min_k at recall 0.95.
     search_exact: bool = False
+    # approx_min_k recall target for the within-candidates top-k.  The
+    # round-5 HEAD trace showed ~28 of 40.5 ms pyramid device time in
+    # approx_top_k sort machinery: at 0.95 the bucket reduction only
+    # halves the 1536-wide candidate rows, so XLA still sorts [N, 768]
+    # per search.  Lowering this shrinks the sorted width; per-neighbor
+    # recall is re-measured by scripts/ab_m_tiles.py before any default
+    # change (floor 0.95 end-to-end vs exact, PERF.md round-1 A/B).
+    search_recall_target: float = 0.95
     # Candidate-DMA distance kernel for the tiled search on TPU
     # (ops/search_kernel.py): one Pallas dispatch for both clouds, zero
     # candidate row gathers.  Auto-disabled off-TPU and on the GSPMD-vmap
@@ -233,6 +241,14 @@ class Config:
     # vs 5.25 pairs/s, PERF.md): Mosaic already runs f32 convs as one
     # bf16 MXU pass, so explicit bf16 only adds conversions.
     image_compute_dtype: str = "float32"
+    # 2D backbone topology (reference Res50UNet, lib/trainer.py:51-69 —
+    # depth 50, 128-channel output; 18 selects the Res18UNet variant,
+    # models/resnet.py:93-230).  Smaller settings exist for CI-scale
+    # flagship coverage (the multi-chip dryrun runs depth 18 at 32
+    # channels so the full color path compiles inside the driver's CPU
+    # time budget); in_feats_dim must equal backbone2d_channels + 1.
+    backbone2d_depth: int = 50
+    backbone2d_channels: int = 128
     # KPConv compute path: 'auto' (fused Pallas kernel on TPU, XLA elsewhere),
     # 'xla', 'reduce' (Pallas influence+reduce), 'fused' (Pallas
     # influence+reduce+matmul, ops/kpconv_fused.py).
@@ -250,6 +266,13 @@ class Config:
     # session_r3b): 9.56 vs 8.27 pairs/s, descriptor cosine 0.99998 /
     # p1 0.99994 vs the 2-limb kernel.  2 = hi/lo (~2^-16, parity grade).
     tiled_feat_limbs: int = 1
+    # What the Trainer does when a step's pyramid reports voxel-budget
+    # overflow (stats['max_overflow'] > 0 — points silently dropped):
+    # 'warn' logs each occurrence, 'error' raises, 'none' only keeps the
+    # stat in the meters.  The C++ reference capped per-sample exactly
+    # (grid_subsampling.cpp max_p); with static budgets an overflow means
+    # the budgets need recalibration (scripts/calibrate_budgets.py).
+    overflow_action: str = "warn"
     seed: int = 42
     # Explicit architecture block-name list (reference configs/models.py
     # lists, including *_deformable variants); None -> the per-dataset

@@ -25,7 +25,10 @@ class PairLoader:
     """Iterates PairBatch over a dataset of sample dicts.
 
     epoch order is shuffled with ``rng`` when shuffle=True; incomplete
-    trailing batches are dropped (static shapes)."""
+    trailing batches are dropped (static shapes).  Evaluation protocols
+    must score EVERY pair (reference lib/benchmark.py:271-337 walks the
+    full split) — construct eval loaders with ``drop_last=False``, which
+    refuses ragged splits instead of silently dropping the tail."""
 
     def __init__(
         self,
@@ -37,7 +40,16 @@ class PairLoader:
         prefetch: int = 4,
         seed: int = 0,
         image_keys: Sequence[str] = ("colors", "depths", "world2cam", "valid_maps", "intrinsics"),
+        drop_last: bool = True,
     ):
+        if not drop_last and len(dataset) % batch_size != 0:
+            raise ValueError(
+                f"drop_last=False but len(dataset)={len(dataset)} is not a "
+                f"multiple of batch_size={batch_size}: the trailing "
+                f"{len(dataset) % batch_size} pair(s) would be silently "
+                "dropped.  Use batch_size=1 (or a divisor of the split) "
+                "for evaluation."
+            )
         self.dataset = dataset
         self.budget = budget
         self.batch_size = batch_size

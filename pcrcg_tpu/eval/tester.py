@@ -176,6 +176,16 @@ class IndoorTester:
                 idx += 1
         while inflight:
             realize(inflight.popleft())
+        # Protocol completeness (VERDICT r4 item 8): every split pair must
+        # be scored — a drop-last loader at batch_size>1 on a ragged split
+        # would silently under-report recall.
+        n_expected = len(infos["src"])
+        if idx != n_expected:
+            raise RuntimeError(
+                f"IndoorTester scored {idx}/{n_expected} pairs — the loader "
+                "dropped part of the split (construct the eval PairLoader "
+                "with drop_last=False / batch_size dividing the split)"
+            )
         for scene in per_scene_pairs:
             n_frag = max(max(i, j) for i, j in per_scene_pairs[scene]) + 1
             write_trajectory(
@@ -246,6 +256,14 @@ class KITTITester:
                     realize(inflight.popleft())
         while inflight:
             realize(inflight.popleft())
+        ds = getattr(loader, "dataset", None)
+        if ds is not None and len(rot_est) != len(ds):
+            raise RuntimeError(
+                f"KITTITester scored {len(rot_est)}/{len(ds)} pairs — the "
+                "loader dropped part of the split (construct the eval "
+                "PairLoader with drop_last=False / batch_size dividing "
+                "the split)"
+            )
         rot_est, rot_gt = np.stack(rot_est), np.stack(rot_gt)
         trans_est, trans_gt = np.stack(trans_est), np.stack(trans_gt)
         rre = rotation_error_deg(rot_est, rot_gt)

@@ -71,7 +71,10 @@ def main(argv=None):
             gt_folder = benchmark_gt_root(cfg.benchmark)
             tester = IndoorTester(cfg, trainer.model, trainer.state.variables(), gt_folder)
             ds = datasets["test"]
-            loader = PairLoader(ds, cfg.budgets.points[0], batch_size=1, num_threads=cfg.num_workers)
+            loader = PairLoader(
+                ds, cfg.budgets.points[0], batch_size=1,
+                num_threads=cfg.num_workers, drop_last=False,
+            )
             tester.run(ds, loader, n_points=cfg.n_points)
         elif cfg.dataset == "kitti":
             from pcrcg_tpu.eval.tester import KITTITester

@@ -63,7 +63,12 @@ class ImageLift(nn.Module):
         # The two-constant form x*c_hi + x*c_lo (c_hi = f32(1/d),
         # c_lo = f32(1/d - c_hi)) reproduces the correctly-rounded
         # quotient EXHAUSTIVELY for all uint8 (d=255) and uint16 (d=1000)
-        # values (verified against numpy on the CPU backend).
+        # values — verified against numpy on the CPU backend by the
+        # suite, and pinnable on the serving backend via
+        # PCRCG_TEST_TPU=1 pytest tests/test_exact_div.py (see
+        # .claude/skills/verify/SKILL.md: XLA:TPU fp contraction could
+        # in principle round differently, so re-run on-chip when
+        # touching this path).
         def _exact_div(x, denom):
             import numpy as np
 

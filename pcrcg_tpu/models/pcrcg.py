@@ -34,7 +34,10 @@ class PCRCG(nn.Module):
         if cfg.image_feature:
             assert images is not None, "image_feature=True needs image inputs"
             features = ImageLift(
-                compute_dtype=cfg.image_compute_dtype, name="lift",
+                output_channel=cfg.backbone2d_channels,
+                depth=cfg.backbone2d_depth,
+                compute_dtype=cfg.image_compute_dtype,
+                name="lift",
             )(
                 pyramid.points[0],
                 pyramid.masks[0],

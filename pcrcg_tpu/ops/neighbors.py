@@ -41,7 +41,7 @@ def _sq_dists(q: jnp.ndarray, sup_t: jnp.ndarray, sup_sq: jnp.ndarray) -> jnp.nd
 
 
 def _smallest_k(
-    d2: jnp.ndarray, k: int, exact: bool = False
+    d2: jnp.ndarray, k: int, exact: bool = False, recall_target: float = 0.95
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """k smallest entries per row, ascending: (values, indices).
 
@@ -58,7 +58,7 @@ def _smallest_k(
     if exact:
         neg, idx = jax.lax.top_k(-d2, k)
     else:
-        neg, idx = jax.lax.approx_max_k(-d2, k, recall_target=0.95)
+        neg, idx = jax.lax.approx_max_k(-d2, k, recall_target=recall_target)
     return -neg, idx
 
 

@@ -90,6 +90,7 @@ def build_pyramid(
         # level ℓ (conv, pool — supports live at level ℓ) use m_tiles[ℓ].
         def make_search(level):
             mt = budgets.m_tiles_at(level)
+            rt = budgets.search_recall_target
 
             if use_kernel:
                 from pcrcg_tpu.ops.tiled_search import radius_search_tiled_batch
@@ -98,14 +99,15 @@ def build_pyramid(
                     return radius_search_tiled_batch(
                         q, s, m, r, cap,
                         tile=budgets.search_tile, m_tiles=mt,
-                        exact=budgets.search_exact,
+                        exact=budgets.search_exact, recall_target=rt,
                     )
 
                 def search_local_batch(q, s, m, r, cap, ch):
                     return radius_search_tiled_batch(
                         q, s, m, r, cap,
                         tile=budgets.search_tile, m_tiles=mt,
-                        exact=budgets.search_exact, return_local=True,
+                        exact=budgets.search_exact, recall_target=rt,
+                        return_local=True,
                     )
 
                 return search_batch, search_local_batch
@@ -115,6 +117,7 @@ def build_pyramid(
                     q, s, m, r, cap,
                     tile=budgets.search_tile, m_tiles=mt,
                     query_chunk=ch, exact=budgets.search_exact,
+                    recall_target=rt,
                 )
 
             def search_local_one(q, s, m, r, cap, ch):
@@ -122,6 +125,7 @@ def build_pyramid(
                     q, s, m, r, cap,
                     tile=budgets.search_tile, m_tiles=mt,
                     query_chunk=ch, exact=budgets.search_exact,
+                    recall_target=rt,
                     return_local=True,
                 )
 

@@ -40,6 +40,7 @@ def radius_search_tiled(
     m_tiles: int = 16,
     query_chunk: int = 1024,
     exact: bool = False,
+    recall_target: float = 0.95,
     return_local: bool = False,
 ):
     """queries [Nq,3], supports [Ns,3] (both Z-order sorted), support_mask
@@ -117,7 +118,7 @@ def radius_search_tiled(
             + cand_sq[None, :]
             - 2.0 * jnp.matmul(q, cand.T, precision=_HIGH)
         )
-        d2k, lidx = _smallest_k(d2, k, exact=exact)
+        d2k, lidx = _smallest_k(d2, k, exact=exact, recall_target=recall_target)
         # Tile-local -> global: resolve the 24-entry tile table with a
         # compare-select sum, NOT sel[lidx // tile] — that tiny table
         # lookup compiles to a latency-bound row gather (~6 ns/row) and
@@ -183,6 +184,7 @@ def radius_search_tiled_batch(
     tile: int = 128,
     m_tiles: int = 16,
     exact: bool = False,
+    recall_target: float = 0.95,
     return_local: bool = False,
     interpret: bool = False,
 ):
@@ -217,7 +219,8 @@ def radius_search_tiled_batch(
         def one(q, s, m):
             return radius_search_tiled(
                 q, s, m, radius, k, tile=tile, m_tiles=m_tiles,
-                exact=exact, return_local=return_local,
+                exact=exact, recall_target=recall_target,
+                return_local=return_local,
             )
 
         return jax.vmap(one)(queries, supports, support_mask)
@@ -248,7 +251,9 @@ def radius_search_tiled_batch(
         tile=tile, interpret=interpret,
     )  # [B·Nq_pad, M·tile]
 
-    d2k, lidx = _smallest_k(d2, k, exact=exact)  # [B·Nq_pad, k]
+    d2k, lidx = _smallest_k(
+        d2, k, exact=exact, recall_target=recall_target
+    )  # [B·Nq_pad, k]
     d2k = d2k.reshape(b, nq_pad, k)
     lidx = lidx.reshape(b, g_count, _Q_TILE, k)
 

@@ -97,16 +97,31 @@ class Trainer:
         self.logger = Logger(cfg.exp_dir)
         self.logger.dump_config(cfg)
         self._backup_source(cfg.exp_dir)
-        self.loaders = {
-            phase: PairLoader(
+        def make_loader(phase, ds):
+            # Eval phases must not drop tail pairs (protocol completeness,
+            # reference lib/benchmark.py:271-337 scores every split pair);
+            # train keeps drop-last for static shapes.  A ragged eval
+            # split falls back to batch_size=1 (which always divides).
+            bsz = cfg.batch_size
+            if phase != "train" and len(ds) % bsz != 0:
+                self.logger.write(
+                    f"{phase} split ({len(ds)} pairs) not divisible by "
+                    f"batch_size={bsz}; eval loader falls back to "
+                    "batch_size=1 for completeness\n"
+                )
+                bsz = 1
+            return PairLoader(
                 ds,
                 cfg.budgets.points[0],
-                batch_size=cfg.batch_size,
+                batch_size=bsz,
                 shuffle=phase == "train",
                 num_threads=cfg.num_workers,
                 seed=cfg.seed,
+                drop_last=phase == "train",
             )
-            for phase, ds in datasets.items()
+
+        self.loaders = {
+            phase: make_loader(phase, ds) for phase, ds in datasets.items()
         }
         self._check_budgets(datasets)
         self.model, variables = init_model(cfg)
@@ -225,6 +240,24 @@ class Trainer:
             self.logger.write(msg + "\n")
             print(msg, flush=True)
 
+    def _check_overflow(self, stats: dict, phase: str, epoch: int, c_iter: int):
+        """Per-step voxel-budget overflow action (cfg.overflow_action):
+        stats['max_overflow'] > 0 means the pyramid dropped voxels past a
+        level budget this step — the silent-corruption mode VERDICT r4
+        flagged (ops/subsample.py OOB-scatter drop)."""
+        ov = stats.get("max_overflow", 0.0)
+        if ov <= 0 or self.cfg.overflow_action == "none":
+            return
+        msg = (
+            f"{phase} Epoch {epoch} iter {c_iter}: voxel-budget OVERFLOW "
+            f"(max_overflow={ov:.0f} voxels dropped past a level budget); "
+            "raise tpu.budgets.points or run scripts/calibrate_budgets.py"
+        )
+        if self.cfg.overflow_action == "error":
+            raise RuntimeError(msg)
+        self.logger.write(msg + "\n")
+        print(msg, flush=True)
+
     @staticmethod
     def _backup_source(exp_dir: str):
         """Copy the package source into the snapshot dir (reference
@@ -295,6 +328,7 @@ class Trainer:
                 stats = {k: float(v) for k, v in stats.items()}
                 for k, v in stats.items():
                     meters[k].update(v)
+                self._check_overflow(stats, phase, epoch, c_iter)
             timer.toc()
             meters["pairs_per_sec"].update(batch.batch_size / max(timer.elapsed, 1e-9))
             if (c_iter + 1) % self.cfg.verbose_freq == 0 and self.cfg.verbose:
@@ -306,8 +340,10 @@ class Trainer:
                 self.logger.write(msg + "\n")
                 print(msg, flush=True)
         for stats, bsz in inflight:  # drain the pipelined tail
+            stats = {k: float(v) for k, v in stats.items()}
             for k, v in stats.items():
-                meters[k].update(float(v))
+                meters[k].update(v)
+            self._check_overflow(stats, phase, epoch, num_iter - 1)
         summary = f"{phase} Epoch {epoch}: " + " ".join(
             f"{k}: {m.mean:.3f}" for k, m in meters.items()
         )

@@ -34,6 +34,17 @@ def pack_pytree(tree):
     def pack(t):
         ls = jax.tree_util.tree_leaves(t)
         assert len(ls) == len(leaves), (len(ls), len(leaves))
+        # Cheap host-side spec check (ADVICE r4): a DIFFERENT tree with a
+        # coincidentally equal leaf count would mispack — and if per-dtype
+        # totals also coincided, unpack would silently corrupt parameters.
+        for i, l in enumerate(ls):
+            got = (tuple(l.shape), jnp.dtype(l.dtype))
+            if got != specs[i]:
+                raise ValueError(
+                    f"pack(): leaf {i} spec {got} != captured {specs[i]} — "
+                    "this pack/unpack pair is bound to the tree it was "
+                    "built from"
+                )
         return {
             name: jnp.concatenate(
                 [jnp.ravel(ls[i]) for i in idxs]

@@ -68,21 +68,24 @@ if __name__ == "__main__":
     )(pts, msk)
     jax.block_until_ready(pyr_exact.neighbors)
 
-    # argv: search_tile:m_tiles, where m_tiles is an int OR a per-level
-    # comma list — e.g. 128:12 128:12,10,8,8
+    # argv: search_tile:m_tiles[:recall_target], where m_tiles is an int OR
+    # a per-level comma list — e.g. 128:12  128:12,10,8,8  128:12:0.9
     def parse(arg):
-        tile_s, m_s = arg.split(":")
+        parts = arg.split(":")
+        tile_s, m_s = parts[0], parts[1]
         m = tuple(int(v) for v in m_s.split(",")) if "," in m_s else int(m_s)
-        return int(tile_s), m
+        rt = float(parts[2]) if len(parts) > 2 else 0.95
+        return int(tile_s), m, rt
 
     combos = [parse(arg) for arg in sys.argv[1:]] or [
-        (128, 24), (128, 16), (128, 12)
+        (128, 24, 0.95), (128, 16, 0.95), (128, 12, 0.95)
     ]
 
     model_vars = None
-    for tile_sz, m_tiles in combos:
+    for tile_sz, m_tiles, recall_t in combos:
         b = Budgets(**{**base.budgets.__dict__,
-                       "search_tile": tile_sz, "search_m_tiles": m_tiles})
+                       "search_tile": tile_sz, "search_m_tiles": m_tiles,
+                       "search_recall_target": recall_t})
         cfg = base.replace(budgets=b)
         pyr_fn = jax.jit(
             lambda p, m, _b=b: build_pyramid(p, m, _b, cfg.first_subsampling_dl, cfg.conv_radius)
@@ -124,7 +127,8 @@ if __name__ == "__main__":
             ts.append((time.perf_counter() - t0) * 1000)
         ms = float(np.median(ts))
         print(
-            f"tile={tile_sz} m_tiles={m_tiles}: recall/lvl={['%.4f' % r for r in rec]} "
+            f"tile={tile_sz} m_tiles={m_tiles} rt={recall_t}: "
+            f"recall/lvl={['%.4f' % r for r in rec]} "
             f"fitness={fit:.4f} e2e={ms:.1f} ms ({1000.0/ms:.2f} pairs/s)",
             flush=True,
         )

@@ -1,8 +1,13 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware (SURVEY.md §4e).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# exercised without TPU hardware (SURVEY.md §4e).  PCRCG_TEST_TPU=1 keeps
+# the real backend instead (targeted on-chip runs, e.g. the dequantization
+# exactness tests — .claude/skills/verify/SKILL.md; NEVER run the full
+# suite this way, and never concurrently with another chip client).
+_ON_TPU = os.environ.get("PCRCG_TEST_TPU") == "1"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -24,7 +29,8 @@ os.environ["XLA_FLAGS"] = flags
 import jax
 
 # The env var alone does not stick when a TPU plugin (axon) pre-set it.
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

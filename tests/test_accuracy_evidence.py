@@ -87,7 +87,26 @@ def test_color_branch_helps_full_so3():
     color run must reach at least the geometry run's best recall AND clear
     an absolute floor — a low-recall tie (r3's 0.25/0.25) must FAIL
     (VERDICT r3: the gate was vacuous).  Prefers the rotation-curriculum
-    pair (session_r4d) over the r3 no-curriculum pair."""
+    pair (session_r4d) over the r3 no-curriculum pair.
+
+    Round-5 continuation gate (PRE-REGISTERED before the runs, VERDICT r4
+    item 5: the r4 margin of one 1/16 quantum is inside the documented
+    eval bounce): when the continuation artifacts (so3c2, equal +12k-step
+    schedules from the r4 params, 32-pair eval pool) are present, the
+    color arm must beat geometry by >= 2 quanta (2/32 = 0.0625) AND clear
+    an absolute 0.5 floor — margins, not measured values."""
+    geom5 = os.path.join(REPO, "perf_runs", "accuracy_evidence_so3c2_geom.jsonl")
+    images5 = os.path.join(REPO, "perf_runs", "accuracy_evidence_so3c2_images.jsonl")
+    if os.path.exists(geom5) and os.path.exists(images5):
+        best_images, best_geom = _best_recall(images5), _best_recall(geom5)
+        assert best_images >= best_geom + 0.0625 - 1e-9, (
+            f"color {best_images} does not beat geometry {best_geom} by the "
+            "pre-registered 2-quantum (0.0625) margin"
+        )
+        assert best_images >= 0.5, (
+            f"color best recall {best_images} under the 0.5 evidence floor"
+        )
+        return
     geom = os.path.join(REPO, "perf_runs", "accuracy_evidence_so3c_geom.jsonl")
     images = os.path.join(REPO, "perf_runs", "accuracy_evidence_so3c_images.jsonl")
     if not (os.path.exists(geom) and os.path.exists(images)):
@@ -203,6 +222,34 @@ def _eval_pair_overlaps(start):
         d, _ = cKDTree(tgt_back).query(src, k=1)
         overlaps.append(float((d < 0.0375).mean()))
     return overlaps
+
+
+def test_backfilled_eval_overlap_matches_reconstruction():
+    """ADVICE r4: the 45h geometry artifact's start event was mutated in
+    place to backfill ``eval_overlap`` — _eval_pair_overlaps then trusts
+    the recorded values, so a transcription error in the backfill would
+    silently shift which pairs count as 3DMatch-regime.  Recompute the
+    overlaps from the deterministic eval-pair seeds and assert the
+    recorded values match exactly (same kNN threshold math)."""
+    path = os.path.join(
+        REPO, "perf_runs", "accuracy_evidence_45h_geom_long.jsonl"
+    )
+    if not os.path.exists(path):
+        pytest.skip("no committed long-schedule hardened evidence")
+    start = next(
+        e for e in (json.loads(line) for line in open(path))
+        if e.get("event") == "start"
+    )
+    if "eval_overlap" not in start:
+        pytest.skip("artifact predates eval_overlap recording")
+    recorded = start["eval_overlap"]
+    recomputed = _eval_pair_overlaps({
+        k: v for k, v in start.items() if k != "eval_overlap"
+    })
+    # The backfill recorded round(overlap, 4) — allow exactly that
+    # quantization, nothing more (a transcription error would be >= 1e-4
+    # on some pair or a reordering, both far outside this band).
+    np.testing.assert_allclose(recorded, recomputed, atol=5.01e-5)
 
 
 def test_hardened_evidence_recall_gate():

@@ -149,6 +149,31 @@ def test_indoor_tester_multi_scene_dress_rehearsal(tmp_path, rng):
     assert 0.0 <= res.weighted_recall <= 1.0
 
 
+def test_indoor_tester_refuses_partial_split(tmp_path, rng):
+    """Protocol completeness (VERDICT r4 item 8): a loader that under-
+    delivers (e.g. drop-last at batch_size>1 on a ragged split) must make
+    the tester raise instead of silently scoring a subset."""
+    scene = "7-scenes-fake"
+    root = tmp_path / "data"
+    (root / "test" / scene).mkdir(parents=True)
+    base = rng.uniform(0, 0.5, size=(50, 3)).astype(np.float32)
+    for i in range(3):
+        torch.save(torch.from_numpy(base), root / "test" / scene / f"cloud_bin_{i}.pth")
+    infos = {
+        "rot": [np.eye(3)],
+        "trans": [np.zeros((3, 1), np.float32)],
+        "src": [f"test/{scene}/cloud_bin_2.pth"],
+        "tgt": [f"test/{scene}/cloud_bin_0.pth"],
+        "overlap": [0.9],
+    }
+    cfg = tiny_test_config(root=str(root), exp_dir=str(tmp_path / "exp"))
+    ds = IndoorDataset(infos, cfg, data_augmentation=False)
+    model, variables = init_model(cfg)
+    tester = IndoorTester(cfg, model, variables, str(tmp_path / "gt"))
+    with pytest.raises(RuntimeError, match="scored 0/1"):
+        tester.run(ds, [], est_folder=str(tmp_path / "est"))
+
+
 @pytest.mark.slow
 def test_kitti_tester_end_to_end(rng):
     """KITTITester plumbing on synthetic pairs (untrained model — the

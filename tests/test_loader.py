@@ -95,3 +95,17 @@ def test_worker_errors_propagate():
     loader = PairLoader(Exploding(n=6), budget=800, num_threads=3, seed=0)
     with pytest.raises(RuntimeError, match="boom"):
         _collect(loader)
+
+
+def test_eval_drop_last_guard():
+    """drop_last=False refuses ragged splits instead of silently dropping
+    tail pairs (VERDICT r4 item 8; the 3DMatch protocol scores every
+    pair, reference lib/benchmark.py:271-337)."""
+    with pytest.raises(ValueError, match="drop_last"):
+        PairLoader(SyntheticPairs(n=5), budget=800, batch_size=2,
+                   drop_last=False)
+    # Divisible split constructs and yields every pair.
+    loader = PairLoader(SyntheticPairs(n=6), budget=800, batch_size=2,
+                        num_threads=1, drop_last=False)
+    assert len(loader) == 3
+    assert len(_collect(loader)) == 3

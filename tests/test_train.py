@@ -55,6 +55,26 @@ def test_train_step_reduces_loss(setup):
     assert int(state.step) == 5
 
 
+def test_overflow_stat_surfaces_budget_drop(setup):
+    """stats['max_overflow'] (VERDICT r4 item 7): zero on an in-budget
+    pair; positive when the level-1 voxel budget is too small for the
+    cloud (voxels silently dropped by the OOB scatter)."""
+    cfg, model, state, batch = setup
+    stats = eval_step(model, cfg, state, batch, jax.random.key(3))
+    assert float(stats["max_overflow"]) == 0.0
+
+    # Squeeze level 1: the 160-point cloud occupies ~148 voxels at
+    # dl=2*0.025, far over a 32-point budget (but keep every level >=
+    # the k=16 neighbor cap so the searches stay well-formed).
+    import dataclasses
+
+    tight = cfg.replace(
+        budgets=dataclasses.replace(cfg.budgets, points=(256, 32, 32, 32))
+    )
+    stats2 = eval_step(model, tight, state, batch, jax.random.key(3))
+    assert float(stats2["max_overflow"]) > 0.0
+
+
 def test_eval_and_infer_steps(setup):
     cfg, model, state, batch = setup
     stats = eval_step(model, cfg, state, batch, jax.random.key(2))
