@@ -116,14 +116,17 @@ def main(batch_size: int = None):
     if "PCRCG_BENCH_RECALL" in os.environ:
         # approx_min_k recall target for the within-candidates top-k —
         # shrinks the [N, m_tiles*128/2] sort widths that dominate the
-        # pyramid device time (PERF.md round-5 trace).
+        # pyramid device time (PERF.md round-5 trace).  Scalar or
+        # per-level comma list (e.g. "0.9,0.95").
         import dataclasses
 
+        raw = os.environ["PCRCG_BENCH_RECALL"]
+        rt = (
+            tuple(float(v) for v in raw.split(","))
+            if "," in raw else float(raw)
+        )
         cfg = cfg.replace(
-            budgets=dataclasses.replace(
-                cfg.budgets,
-                search_recall_target=float(os.environ["PCRCG_BENCH_RECALL"]),
-            )
+            budgets=dataclasses.replace(cfg.budgets, search_recall_target=rt)
         )
     if image_feature:
         cfg = cfg.replace(

@@ -100,10 +100,31 @@ class Budgets:
     # round-5 HEAD trace showed ~28 of 40.5 ms pyramid device time in
     # approx_top_k sort machinery: at 0.95 the bucket reduction only
     # halves the 1536-wide candidate rows, so XLA still sorts [N, 768]
-    # per search.  Lowering this shrinks the sorted width; per-neighbor
-    # recall is re-measured by scripts/ab_m_tiles.py before any default
-    # change (floor 0.95 end-to-end vs exact, PERF.md round-1 A/B).
-    search_recall_target: float = 0.95
+    # per search.  The reduction size is a discrete ladder: everything in
+    # (0.9, 0.95] compiles identically; 0.9 steps the sorted width down
+    # and cut e2e 112.4 -> 86.7 ms on the round-5 chip A/B
+    # (perf_runs/session_r5b/ab_mtiles.log) at per-level neighbor recall
+    # 0.9495/0.9626/0.9789/1.0 vs exact (0.95 gave 0.9598 at L0; 0.85/0.8
+    # are worse on BOTH axes).  The binding accuracy gate is end-task:
+    # the same-weights approx-vs-exact 32-pair eval
+    # (tests/test_accuracy_evidence.py::
+    # test_approx_search_stack_matches_exact_end_to_end, delta <= 2/32),
+    # re-run under any default change.  Round-5 ladder (session_r5b):
+    # 0.9 alone scored 0.65625 vs exact 0.75 (3/32, rejected) — but the
+    # flip was the k=1 UPSAMPLE searches riding the same approx machinery
+    # (at k=1 approx misses the true nearest on ~(1-recall) of rows);
+    # with k=1 forced exact (ops/neighbors._smallest_k — an argmax, no
+    # sort), 0.9 scores 0.7500 == exact, a 0/32 delta, while cutting e2e
+    # 112.4 -> 86.7 ms.  Per-level tuple accepted like search_m_tiles.
+    search_recall_target: float | Tuple[float, ...] = 0.9
+
+    def recall_target_at(self, level: int) -> float:
+        """approx top-k recall target for level ``level`` (clamped like
+        m_tiles_at when the tuple is shorter than num_levels)."""
+        rt = self.search_recall_target
+        if isinstance(rt, (int, float)):
+            return float(rt)
+        return float(rt[min(level, len(rt) - 1)])
     # Candidate-DMA distance kernel for the tiled search on TPU
     # (ops/search_kernel.py): one Pallas dispatch for both clouds, zero
     # candidate row gathers.  Auto-disabled off-TPU and on the GSPMD-vmap

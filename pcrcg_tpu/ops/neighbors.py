@@ -55,7 +55,12 @@ def _smallest_k(
     lowers to an exact top-k.  ``exact=True`` forces ``lax.top_k`` — with
     tile-pruned candidate sets (~3k wide) the exact sort is affordable.
     """
-    if exact:
+    # k == 1 is ALWAYS exact: top_k(1) compiles to an argmax (no sort),
+    # while approx_max_k at k=1 misses the true nearest on ~(1-recall)
+    # of rows — fatal for nearest-upsample/closest-pool, whose semantics
+    # depend on the FIRST neighbor (reference models/blocks.py:71-83;
+    # the round-1 dense+approx variant broke exactly this way, PERF.md).
+    if exact or k == 1:
         neg, idx = jax.lax.top_k(-d2, k)
     else:
         neg, idx = jax.lax.approx_max_k(-d2, k, recall_target=recall_target)

@@ -88,9 +88,9 @@ def build_pyramid(
 
         # m_tiles may be per-level (budgets.m_tiles_at); the searches at
         # level ℓ (conv, pool — supports live at level ℓ) use m_tiles[ℓ].
-        def make_search(level):
-            mt = budgets.m_tiles_at(level)
-            rt = budgets.search_recall_target
+        def make_search(level, mt=None):
+            mt = budgets.m_tiles_at(level) if mt is None else mt
+            rt = budgets.recall_target_at(level)
 
             if use_kernel:
                 from pcrcg_tpu.ops.tiled_search import radius_search_tiled_batch
@@ -137,9 +137,22 @@ def build_pyramid(
         per_level = [make_search(level) for level in range(num_levels)]
         search_at = lambda level: per_level[level][0]
         search_local_at = lambda level: per_level[level][1]
+        # k=1 (upsample) searches keep only the 4 nearest candidate tiles:
+        # the exact argmin over the full m_tiles*128 candidates was ~8 ms
+        # of pyramid device time (round-5 trace), and the single nearest
+        # support virtually always lives in the top-ranked tiles (box
+        # distance ranks the container tile first barring degenerate
+        # aspect ratios).  End-task validated like every search approx
+        # (accuracy_evidence approx-vs-exact eval).
+        per_level_k1 = [
+            make_search(level, mt=min(4, budgets.m_tiles_at(level)))
+            for level in range(num_levels)
+        ]
+        search_k1_at = lambda level: per_level_k1[level][0]
     else:
         dense = jax.vmap(radius_search, in_axes=(0, 0, 0, None, None, None))
         search_at = lambda level: dense
+        search_k1_at = search_at
         search_local_at = None
 
     def subsample_one(p, m, dl, n):
@@ -208,7 +221,7 @@ def build_pyramid(
             # search skips the per-row top-H selection entirely.  Supports
             # live at level+1, so that level's m_tiles applies.
             upsamples.append(
-                search_at(min(level + 1, num_levels - 1))(
+                search_k1_at(min(level + 1, num_levels - 1))(
                     pts, pool_p, pool_m, 2.0 * r, 1, chunk
                 )
             )

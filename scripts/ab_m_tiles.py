@@ -68,13 +68,19 @@ if __name__ == "__main__":
     )(pts, msk)
     jax.block_until_ready(pyr_exact.neighbors)
 
-    # argv: search_tile:m_tiles[:recall_target], where m_tiles is an int OR
-    # a per-level comma list — e.g. 128:12  128:12,10,8,8  128:12:0.9
+    # argv: search_tile:m_tiles[:recall_target] — m_tiles and
+    # recall_target each an int/float OR a per-level comma list, e.g.
+    # 128:12  128:12,10,8,8  128:12:0.9  128:12:0.9,0.95
     def parse(arg):
         parts = arg.split(":")
         tile_s, m_s = parts[0], parts[1]
         m = tuple(int(v) for v in m_s.split(",")) if "," in m_s else int(m_s)
-        rt = float(parts[2]) if len(parts) > 2 else 0.95
+        rt = 0.95
+        if len(parts) > 2:
+            rt = (
+                tuple(float(v) for v in parts[2].split(","))
+                if "," in parts[2] else float(parts[2])
+            )
         return int(tile_s), m, rt
 
     combos = [parse(arg) for arg in sys.argv[1:]] or [

@@ -206,6 +206,10 @@ def main():
                          "reference's exact sorted neighbor lists "
                          "(cpp_neighbors/neighbors.cpp:266); for bounding the "
                          "approximation stack end-to-end (VERDICT r3 item 8)")
+    ap.add_argument("--recall-target", default="",
+                    help="override budgets.search_recall_target: scalar or "
+                         "per-level comma list (e.g. 0.9 or 0.9,0.95) — for "
+                         "end-task A/B of the approx top-k ladder")
     ap.add_argument("--save-params", default="",
                     help="serialize final train-state variables to this file "
                          "(flax msgpack) so later sessions can eval the same "
@@ -251,6 +255,15 @@ def main():
         import dataclasses
 
         budgets = dataclasses.replace(budgets, search_exact=True, search_m_tiles=24)
+    if args.recall_target:
+        import dataclasses
+
+        raw = args.recall_target
+        rt = (
+            tuple(float(v) for v in raw.split(","))
+            if "," in raw else float(raw)
+        )
+        budgets = dataclasses.replace(budgets, search_recall_target=rt)
     cfg = Config(budgets=budgets, lr=args.lr, w_saliency_loss=0.0,
                  optimizer=args.optimizer)
     if args.images:
