@@ -59,19 +59,24 @@ case "${1:?phase}" in
       --init-params perf_runs/params_45h_geom_long.msgpack --eval-only \
       --out perf_runs/accuracy_evidence_45h_geom_approx_eval.jsonl ;;
   so3geom)
-    run evidence_so3c2_geom 5400 python scripts/train_synthetic_register.py \
-      --steps 12000 --eval-every 1000 --budget 13312 --optimizer Adam --lr 0.001 \
-      --max-rot-deg 180 --resample-frac 0.85 \
+    # FRESH 24k-step runs with slow decay (50 epochs): continuation from
+    # the r4 params failed live twice — restarting Adam at 1e-3 destroyed
+    # the model, and fine-tuning at 1e-4 stayed flat at the start value.
+    # The r4 runs themselves were lr-frozen past ~step 3000 (150 decays
+    # over 12k steps); --decay-epochs 50 keeps lr above 7.7e-5 to the end.
+    run evidence_so3c2_geom 7200 python scripts/train_synthetic_register.py \
+      --steps 24000 --eval-every 2000 --budget 13312 --optimizer Adam --lr 0.001 \
+      --max-rot-deg 180 --resample-frac 0.85 --rot-curriculum 8000 \
+      --decay-epochs 50 \
       --n-eval 32 --pair-pool 256 \
-      --init-params perf_runs/params_so3c_geom.msgpack \
       --save-params perf_runs/params_so3c2_geom.msgpack \
       --out perf_runs/accuracy_evidence_so3c2_geom.jsonl ;;
   so3img)
-    run evidence_so3c2_images 7200 python scripts/train_synthetic_register.py \
-      --steps 12000 --eval-every 1000 --budget 13312 --optimizer Adam --lr 0.001 \
-      --max-rot-deg 180 --resample-frac 0.85 --images \
+    run evidence_so3c2_images 10800 python scripts/train_synthetic_register.py \
+      --steps 24000 --eval-every 2000 --budget 13312 --optimizer Adam --lr 0.001 \
+      --max-rot-deg 180 --resample-frac 0.85 --rot-curriculum 8000 --images \
+      --decay-epochs 50 \
       --n-eval 32 --pair-pool 256 \
-      --init-params perf_runs/params_so3c_images.msgpack \
       --save-params perf_runs/params_so3c2_images.msgpack \
       --out perf_runs/accuracy_evidence_so3c2_images.jsonl ;;
   *) echo "unknown phase $1"; exit 2 ;;

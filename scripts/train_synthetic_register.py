@@ -206,6 +206,14 @@ def main():
                          "reference's exact sorted neighbor lists "
                          "(cpp_neighbors/neighbors.cpp:266); for bounding the "
                          "approximation stack end-to-end (VERDICT r3 item 8)")
+    ap.add_argument("--decay-epochs", type=int, default=150,
+                    help="spread this many x0.95 lr decays over the run "
+                         "(reference schedule = 150).  At 150, lr falls "
+                         "below 1e-4 by ~step/5 and the rest of the run is "
+                         "frozen — the round-4 SO(3) curves were flat past "
+                         "step ~3000 for exactly this reason; 50 keeps "
+                         "learning alive to the end (final lr ~7.7e-5 from "
+                         "1e-3)")
     ap.add_argument("--recall-target", default="",
                     help="override budgets.search_recall_target: scalar or "
                          "per-level comma list (e.g. 0.9 or 0.9,0.95) — for "
@@ -350,7 +358,7 @@ def main():
     # default steps_per_epoch=1 would decay lr x0.95 EVERY STEP and freeze
     # training by step ~200.
     state = create_train_state(
-        cfg, variables, steps_per_epoch=max(1, args.steps // 150)
+        cfg, variables, steps_per_epoch=max(1, args.steps // args.decay_epochs)
     )
 
     @jax.jit

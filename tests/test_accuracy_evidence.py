@@ -89,12 +89,14 @@ def test_color_branch_helps_full_so3():
     (VERDICT r3: the gate was vacuous).  Prefers the rotation-curriculum
     pair (session_r4d) over the r3 no-curriculum pair.
 
-    Round-5 continuation gate (PRE-REGISTERED before the runs, VERDICT r4
-    item 5: the r4 margin of one 1/16 quantum is inside the documented
-    eval bounce): when the continuation artifacts (so3c2, equal +12k-step
-    schedules from the r4 params, 32-pair eval pool) are present, the
-    color arm must beat geometry by >= 2 quanta (2/32 = 0.0625) AND clear
-    an absolute 0.5 floor — margins, not measured values."""
+    Round-5 gate (PRE-REGISTERED before the runs, VERDICT r4 item 5: the
+    r4 margin of one 1/16 quantum is inside the documented eval bounce):
+    when the round-5 artifacts (so3c2 — equal FRESH 24k-step curriculum
+    schedules with slow lr decay, 32-pair eval pool; continuation from
+    the r4 params failed twice and was abandoned, see PERF.md) are
+    present, the color arm must beat geometry by >= 2 quanta (2/32 =
+    0.0625) AND clear an absolute 0.5 floor — margins, not measured
+    values."""
     geom5 = os.path.join(REPO, "perf_runs", "accuracy_evidence_so3c2_geom.jsonl")
     images5 = os.path.join(REPO, "perf_runs", "accuracy_evidence_so3c2_images.jsonl")
     if os.path.exists(geom5) and os.path.exists(images5):
