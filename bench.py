@@ -113,6 +113,22 @@ def main(batch_size: int = None):
         cfg = cfg.replace(
             budgets=dataclasses.replace(cfg.budgets, search_m_tiles=mt)
         )
+    if "PCRCG_BENCH_POINTS" in os.environ:
+        # Per-level point budgets, comma list (e.g. "20736,7168,2048,640").
+        # Used for the VERDICT-r5 item-9 cost/benefit proxy: a symmetric
+        # budget equal to the per-cloud MEAN of an asymmetric src/tgt
+        # layout has the same row count the asymmetric refactor would
+        # reach, so it measures the perf ceiling of that change without
+        # the [2,N]-layout surgery.  NOT an accuracy-preserving setting
+        # (the bigger cloud gets truncated) — perf A/B only.
+        import dataclasses
+
+        pts_budget = tuple(
+            int(v) for v in os.environ["PCRCG_BENCH_POINTS"].split(",")
+        )
+        cfg = cfg.replace(
+            budgets=dataclasses.replace(cfg.budgets, points=pts_budget)
+        )
     if "PCRCG_BENCH_RECALL" in os.environ:
         # approx_min_k recall target for the within-candidates top-k —
         # shrinks the [N, m_tiles*128/2] sort widths that dominate the
